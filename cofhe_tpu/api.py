@@ -1,0 +1,299 @@
+"""CryptoSystem facade: the full operation surface of the reference's
+`CryptoSystemConcept` (cofhe.hpp:18-75, 57 operations) as a Python class.
+
+Element/vector/tensor variants of keygen / encrypt / decrypt / part_decrypt /
+combine / add / scal / negate / plaintext arithmetic / fixed-point codec /
+serialization. Tensor compute dispatches to a backend:
+
+  * 'host'  — pure-Python class-group arithmetic (cofhe_tpu.core), the
+              bit-exact oracle.
+  * 'tpu'   — batched JAX/XLA/Pallas limb kernels (cofhe_tpu.ops), used for
+              vector/tensor ops; falls back to host for scalar ops where
+              batching has no benefit.
+
+`make_cryptosystem` mirrors the reference factory (cofhe.hpp:96-121).
+"""
+
+from __future__ import annotations
+
+import math
+from enum import Enum
+from typing import Sequence
+
+from . import serialize as ser
+from .core.cl_hsm2k import CLHSM2k, CipherText
+from .core.fixedpoint import FixedPointCodec
+from .core import liss
+from .core.qfi import Form, compose, neg, nupow, reduce_form
+from .core.rng import RandGen
+from .tensor import Tensor
+
+
+class Device(Enum):
+    CPU = "cpu"
+    GPU = "gpu"   # accepted for API parity; maps to TPU backend
+    TPU = "tpu"
+
+
+class Precision(Enum):
+    FP32 = "fp32"
+    FP64 = "fp64"
+
+
+class SecurityLevel(Enum):
+    LOW = 80
+    MEDIUM = 128
+    HIGH = 256
+
+
+class CryptoSystem:
+    """TPU-native CL_HSM2k cryptosystem with the reference's 57-op surface."""
+
+    def __init__(self, security_level: int, k: int, compact: bool = False,
+                 device: str = "host", seed: bytes | None = None, p: int | None = None):
+        self.hsm2k = CLHSM2k(security_level, k, compact_variant=compact, p=p)
+        self.sec_level = security_level
+        self.k = k
+        self.codec = FixedPointCodec(k)
+        self.rand_gen = RandGen(seed)
+        self.device = device
+        self._engine = None
+        if device in ("tpu", "jax", "cpu-jax"):
+            from .ops.engine import JaxEngine
+
+            self._engine = JaxEngine(self.hsm2k, platform=None if device == "tpu" else "cpu")
+
+    # ------------------------------------------------------------------ keys
+    def keygen(self, *args):
+        """keygen() -> sk; keygen(sk) -> pk; keygen(sk, t, n) -> shares."""
+        if len(args) == 0:
+            return self.hsm2k.keygen(self.rand_gen)
+        if len(args) == 1:
+            return self.hsm2k.pk_from_sk(args[0])
+        sk, threshold, num_parties = args
+        return liss.share_secret(sk, num_parties, threshold,
+                                 self.hsm2k.encrypt_randomness_bound(), self.rand_gen)
+
+    # --------------------------------------------------------------- element
+    def encrypt(self, pk: Form, pt: int) -> CipherText:
+        return self.hsm2k.encrypt(pk, pt % self.hsm2k.M, self.rand_gen)
+
+    def decrypt(self, sk: int, ct: CipherText) -> int:
+        return self.hsm2k.decrypt(sk, ct)
+
+    def part_decrypt(self, sks: int, ct: CipherText) -> Form:
+        return self.hsm2k.part_decrypt(ct, sks)
+
+    def combine_part_decryption_results(self, ct: CipherText, pdrs: Sequence[Form]) -> int:
+        return self.hsm2k.final_decrypt(ct, list(pdrs))
+
+    def add_ciphertexts(self, pk: Form, ct1: CipherText, ct2: CipherText) -> CipherText:
+        return self.hsm2k.add_ciphertexts(ct1, ct2)
+
+    def scal_ciphertext(self, pk: Form, s: int, ct: CipherText) -> CipherText:
+        if s < 0:
+            raise ValueError("plaintext scalar must be non-negative")
+        return self.hsm2k.scal_ciphertext(ct, s)
+
+    def negate_ciphertext(self, pk: Form, ct: CipherText) -> CipherText:
+        # reference scales by make_plaintext(-1) = 2^k - 1, i.e. a full k-bit
+        # nupow (cpu_cryptosystem.inl:95-98); group inversion yields the same
+        # decryption (randomness -r instead of r(2^k - 1)) in O(1).
+        return self.hsm2k.negate_ciphertext(ct)
+
+    # ------------------------------------------------------------- plaintext
+    def generate_random_plaintext(self) -> int:
+        return self.rand_gen.random_mpz(self.hsm2k.cleartext_bound())
+
+    def generate_random_beavers_triplet(self) -> list[int]:
+        # bound 10 as in reference (cpu_cryptosystem.inl:36-47)
+        a = self.rand_gen.random_mpz(10)
+        b = self.rand_gen.random_mpz(10)
+        return [a, b, a * b]
+
+    def add_plaintexts(self, pt1: int, pt2: int) -> int:
+        return pt1 + pt2
+
+    def multiply_plaintexts(self, pt1: int, pt2: int) -> int:
+        return pt1 * pt2
+
+    def negate_plaintext(self, pt: int) -> int:
+        return self.codec.encode(-self.codec.decode(pt))
+
+    def make_plaintext(self, value: float) -> int:
+        return self.codec.encode(value)
+
+    def get_float_from_plaintext(self, pt: int) -> float:
+        return self.codec.decode(pt)
+
+    # --------------------------------------------------------------- vectors
+    def encrypt_vector(self, pk: Form, pts: Sequence[int]) -> list[CipherText]:
+        return self._encrypt_batch(pk, list(pts))
+
+    def decrypt_vector(self, sk: int, cts: Sequence[CipherText]) -> list[int]:
+        if self._engine is not None:
+            return self._engine.decrypt_batch(sk, list(cts))
+        return [self.hsm2k.decrypt(sk, ct) for ct in cts]
+
+    def part_decrypt_vector(self, sks: int, cts: Sequence[CipherText]) -> list[Form]:
+        if self._engine is not None:
+            return self._engine.part_decrypt_batch(sks, list(cts))
+        return [self.hsm2k.part_decrypt(ct, sks) for ct in cts]
+
+    def combine_part_decryption_results_vector(self, cts, pdrs_per_party) -> list[int]:
+        """pdrs_per_party: list over parties of per-element PDR lists."""
+        out = []
+        for i, ct in enumerate(cts):
+            out.append(self.hsm2k.final_decrypt(ct, [p[i] for p in pdrs_per_party]))
+        return out
+
+    def add_ciphertext_vectors(self, pk, ct1, ct2) -> list[CipherText]:
+        if len(ct1) != len(ct2):
+            raise ValueError("vector sizes must be equal")
+        if self._engine is not None:
+            return self._engine.add_batch(list(ct1), list(ct2))
+        return [self.hsm2k.add_ciphertexts(a, b) for a, b in zip(ct1, ct2)]
+
+    def scal_ciphertext_vector(self, pk, s, cts) -> list[CipherText]:
+        if isinstance(s, (list, tuple)):
+            if len(s) != len(cts):
+                raise ValueError("vector sizes must be equal")
+            scalars = [int(x) for x in s]
+        else:
+            scalars = [int(s)] * len(cts)
+        if any(x < 0 for x in scalars):
+            raise ValueError("plaintext scalar must be non-negative")
+        if self._engine is not None:
+            return self._engine.scal_batch(scalars, list(cts))
+        return [self.hsm2k.scal_ciphertext(ct, x) for x, ct in zip(scalars, cts)]
+
+    # --------------------------------------------------------------- tensors
+    def encrypt_tensor(self, pk: Form, pt: Tensor) -> Tensor:
+        return Tensor(self._encrypt_batch(pk, pt.data), pt.shape)
+
+    def decrypt_tensor(self, sk: int, ct: Tensor) -> Tensor:
+        return Tensor(self.decrypt_vector(sk, ct.data), ct.shape)
+
+    def part_decrypt_tensor(self, sks: int, ct: Tensor) -> Tensor:
+        return Tensor(self.part_decrypt_vector(sks, ct.data), ct.shape)
+
+    def combine_part_decryption_results_tensor(self, ct: Tensor, pdrs: Sequence[Tensor]) -> Tensor:
+        vals = self.combine_part_decryption_results_vector(ct.data, [p.data for p in pdrs])
+        return Tensor(vals, pdrs[0].shape)
+
+    def add_ciphertext_tensors(self, pk, ct1: Tensor, ct2: Tensor) -> Tensor:
+        if ct1.shape != ct2.shape:
+            raise ValueError("tensor shapes must be equal")
+        return Tensor(self.add_ciphertext_vectors(pk, ct1.data, ct2.data), ct1.shape)
+
+    def scal_ciphertext_tensors(self, pk, s: Tensor, cts: Tensor) -> Tensor:
+        """0-D*0-D elementwise, 1-Dx1-D elementwise, or (m,p) x (n,m) -> (n,p)
+        homomorphic matmul: res[i,k] = Enc(0) + sum_j s[j,k] * ct[i,j]
+        (reference cpu_cryptosystem_tensor_ops.inl:269-462)."""
+        if s.ndim > 2 or cts.ndim > 2:
+            raise ValueError("tensors must be 0D, 1D or 2D for now")
+        if s.is_zero_degree() and cts.is_zero_degree():
+            return Tensor.zero_degree(self.scal_ciphertext(pk, s.get_value(), cts.get_value()))
+        if s.ndim == 1 and cts.ndim == 1:
+            if s.shape != cts.shape:
+                raise ValueError("vector sizes must be equal")
+            return Tensor(self.scal_ciphertext_vector(pk, s.data, cts.data), cts.shape)
+        n, m = cts.shape
+        m2, p = s.shape
+        if m != m2:
+            raise ValueError(f"matmul shape mismatch: ct {cts.shape} x s {s.shape}")
+        if any(x < 0 for x in s.data):
+            raise ValueError("plaintext scalar must be non-negative")
+        zero = self.encrypt(pk, 0)
+        if self._engine is not None:
+            out = self._engine.scal_matmul(s, cts, zero)
+        else:
+            out = self._scal_matmul_host(s, cts, zero)
+        return out
+
+    def _scal_matmul_host(self, s: Tensor, cts: Tensor, zero: CipherText) -> Tensor:
+        n, m = cts.shape
+        _, p = s.shape
+        # products ct[i,j]^s[j,k] then row accumulation, seeded with Enc(0)
+        res = []
+        for i in range(n):
+            row = []
+            for kk in range(p):
+                acc = zero
+                for j in range(m):
+                    term = self.hsm2k.scal_ciphertext(cts.at(i, j), s.at(j, kk))
+                    acc = self.hsm2k.add_ciphertexts(acc, term)
+                row.append(acc)
+            res.extend(row)
+        return Tensor(res, (n, p))
+
+    def negate_ciphertext_tensor(self, pk, ct: Tensor) -> Tensor:
+        # group inversion per element (see negate_ciphertext)
+        return ct.map(self.hsm2k.negate_ciphertext)
+
+    def add_plaintext_tensors(self, pt1: Tensor, pt2: Tensor) -> Tensor:
+        if pt1.shape != pt2.shape:
+            raise ValueError("tensor shapes must be equal")
+        return pt1.zip_map(pt2, lambda a, b: a + b)
+
+    def multiply_plaintext_tensors(self, pt1: Tensor, pt2: Tensor) -> Tensor:
+        if pt1.shape != pt2.shape:
+            raise ValueError("tensor shapes must be equal")
+        return pt1.zip_map(pt2, lambda a, b: a * b)
+
+    def negate_plaintext_tensor(self, pt: Tensor) -> Tensor:
+        return pt.map(self.negate_plaintext)
+
+    # ----------------------------------------------------------- primitives
+    def _encrypt_batch(self, pk: Form, pts: list[int]) -> list[CipherText]:
+        """Shared-randomness batch encryption (reference encrypt_vector,
+        cpu_cryptosystem_vector_ops.inl:4-18): one r per batch."""
+        r = self.rand_gen.random_mpz(self.hsm2k.encrypt_randomness_bound())
+        c1 = self.hsm2k.power_of_h(r)
+        pkr = nupow(pk, r)
+        return [self.hsm2k.encrypt_with_parts(pt % self.hsm2k.M, c1, pkr) for pt in pts]
+
+    # --------------------------------------------------------- serialization
+    def serialize(self) -> str:
+        return f"CPUCryptoSystem {self.sec_level} {self.k} {int(self.hsm2k.compact_variant())}"
+
+    @staticmethod
+    def deserialize(data: str, device: str = "host") -> "CryptoSystem":
+        parts = data.split()
+        return CryptoSystem(int(parts[1]), int(parts[2]), compact=bool(int(parts[3])), device=device)
+
+    serialize_secret_key = staticmethod(ser.serialize_secret_key)
+    serialize_secret_key_share = staticmethod(ser.serialize_secret_key_share)
+    serialize_public_key = staticmethod(ser.serialize_public_key)
+    serialize_plaintext = staticmethod(ser.serialize_plaintext)
+    serialize_ciphertext = staticmethod(ser.serialize_ciphertext)
+    serialize_part_decryption_result = staticmethod(ser.serialize_pdr)
+    serialize_plaintext_tensor = staticmethod(ser.serialize_plaintext_tensor)
+    serialize_ciphertext_tensor = staticmethod(ser.serialize_ciphertext_tensor)
+    serialize_part_decryption_result_tensor = staticmethod(ser.serialize_pdr_tensor)
+    deserialize_secret_key = staticmethod(ser.deserialize_secret_key)
+    deserialize_secret_key_share = staticmethod(ser.deserialize_secret_key_share)
+    deserialize_public_key = staticmethod(ser.deserialize_public_key)
+    deserialize_plaintext = staticmethod(ser.deserialize_plaintext)
+    deserialize_ciphertext = staticmethod(ser.deserialize_ciphertext)
+    deserialize_part_decryption_result = staticmethod(ser.deserialize_pdr)
+    deserialize_plaintext_tensor = staticmethod(ser.deserialize_plaintext_tensor)
+    deserialize_ciphertext_tensor = staticmethod(ser.deserialize_ciphertext_tensor)
+    deserialize_part_decryption_result_tensor = staticmethod(ser.deserialize_pdr_tensor)
+
+
+def make_cryptosystem(security_level, k_or_precision=None, depth_or_device=None,
+                      device: Device | str = Device.CPU, **kw) -> CryptoSystem:
+    """Factory mirroring the three reference overloads (cofhe.hpp:96-121)."""
+    if isinstance(security_level, SecurityLevel):
+        sec = security_level.value
+    else:
+        sec = int(security_level)
+    if isinstance(k_or_precision, Precision):
+        depth = int(depth_or_device)
+        k = depth * (64 if k_or_precision == Precision.FP32 else 128)
+    else:
+        k = int(k_or_precision)
+    dev = device.value if isinstance(device, Device) else str(device)
+    backend = "tpu" if dev in ("tpu", "gpu") else "host"
+    return CryptoSystem(sec, k, device=backend, **kw)

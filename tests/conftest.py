@@ -1,0 +1,50 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so the
+multi-chip sharding paths compile and run without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest
+
+from cofhe_tpu.core.cl_hsm2k import CLHSM2k
+from cofhe_tpu.core.intmath import is_prime
+from cofhe_tpu.core.rng import RandGen
+
+# Toy primes (deterministic) for fast tests; production-size params are
+# exercised in the slow/bench paths only.
+_TOY_P_CACHE: dict[int, int] = {}
+
+
+def toy_prime(bits: int) -> int:
+    if bits not in _TOY_P_CACHE:
+        rg = RandGen(f"toy-prime:{bits}".encode())
+        while True:
+            c = rg.random_bits(bits) | (1 << (bits - 1)) | 1
+            if is_prime(c):
+                _TOY_P_CACHE[bits] = c
+                break
+    return _TOY_P_CACHE[bits]
+
+
+@pytest.fixture(scope="session")
+def toy_hsm():
+    """CLHSM2k with k=32 and a 100-bit p (fast, still exercises all paths)."""
+    return CLHSM2k(128, 32, p=toy_prime(100))
+
+
+@pytest.fixture(scope="session")
+def toy_cs():
+    from cofhe_tpu.api import CryptoSystem
+
+    return CryptoSystem(128, 32, p=toy_prime(100), seed=b"test-seed")
+
+
+@pytest.fixture(scope="session")
+def toy_keys(toy_cs):
+    sk = toy_cs.keygen()
+    pk = toy_cs.keygen(sk)
+    return sk, pk
