@@ -115,6 +115,75 @@ def mag_is_zero(mag):
     return jnp.all(mag == 0, axis=-1)
 
 
+def canonicalize_fast(limbs):
+    """Log-depth canonicalization (Kogge-Stone carry resolve) of redundant
+    signed limbs -> (sign, mag). Same contract as `canonicalize`
+    (|value| < 2^(16 L)) but with O(log L) elementwise passes instead of an
+    O(L) sequential scan — this is the TPU-friendly variant used inside hot
+    loops.
+
+    Stage 1: two elementwise carry passes bound every limb to [-1, 2^16).
+    Stage 2: each limb's carry-out becomes a 3-state transfer function of
+    its carry-in (in {-1,0,+1}); an associative prefix composition resolves
+    all carries in log2(L) steps.
+    """
+    x = limbs
+    for _ in range(2):
+        c = x >> BASE_BITS
+        r = x - (c << BASE_BITS)
+        x = r + jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+        x = x.at[..., -1].add(c[..., -1] << BASE_BITS)
+    # top limb may still be big (guard-limb contract keeps it in int32 range)
+    # limbs now in [-1, 2^16) except possibly the top; transfer functions:
+    # T_i(c) = floor((x_i + c) / 2^16) for c in {-1, 0, +1}
+    om = (x - 1) >> BASE_BITS
+    oz = x >> BASE_BITS
+    op = (x + 1) >> BASE_BITS
+
+    def compose(a, b):
+        # a then b (a is closer to LSB): out(c) = b(a(c))
+        am, az, ap = a
+        bm, bz, bp = b
+
+        def sel(idx):
+            return jnp.where(idx < 0, bm, jnp.where(idx > 0, bp, bz))
+
+        return sel(am), sel(az), sel(ap)
+
+    pm, pz, pp = jax.lax.associative_scan(compose, (om, oz, op), axis=-1)
+    # carry into limb i = prefix of limbs < i evaluated at initial carry 0
+    carry_in = jnp.concatenate([jnp.zeros_like(pz[..., :1]), pz[..., :-1]], axis=-1)
+    t = x + carry_in
+    mag = t & MASK
+    final_c = pz[..., -1]  # total carry out of the top limb
+    is_neg = final_c < 0
+    # negative: value = mag_part - 2^(16L); recompute magnitude = 2^(16L)-mag
+    neg_mag = _negate_mag_fast(mag)
+    mag = jnp.where(is_neg[..., None], neg_mag, mag)
+    nonzero = jnp.any(mag != 0, axis=-1)
+    sign = jnp.where(is_neg, -1, 1) * nonzero.astype(jnp.int32)
+    return sign, mag
+
+
+def _negate_mag_fast(mag):
+    """2^(16L) - mag via complement + increment with log-depth carry."""
+    comp = MASK - mag  # in [0, 2^16)
+    # add 1 at limb 0: carry propagates through limbs equal to 2^16 - 1
+    inc = comp + jnp.zeros_like(comp).at[..., 0].set(1)
+    # single Kogge-Stone pass: carries are 0/1 only
+    oz = inc >> BASE_BITS
+    op = (inc + 1) >> BASE_BITS
+
+    def compose(a, b):
+        az, ap = a
+        bz, bp = b
+        return jnp.where(az > 0, bp, bz), jnp.where(ap > 0, bp, bz)
+
+    pz, pp = jax.lax.associative_scan(compose, (oz, op), axis=-1)
+    carry_in = jnp.concatenate([jnp.zeros_like(pz[..., :1]), pz[..., :-1]], axis=-1)
+    return (inc + carry_in) & MASK
+
+
 def resize(mag, L: int):
     """Zero-pad (or truncate — caller must guarantee value-preserving) the
     limb axis to length L."""
