@@ -69,6 +69,35 @@ class CipherText:
         return iter((self.c1, self.c2))
 
 
+# Pre-derived deterministic primes for standard (security_level, k) pairs
+# (identical to what _derive_p produces; cached to skip minutes of prime
+# search at startup). Keys: (security_level, k).
+_PRECOMPUTED_P = {
+    (112, 128): int(
+        "0x16416c441245e196415d79189aab1c44191fa28854a77d436ab3f2130a766aa91985d16bf7175aea1e9c1ac85bf48ffaafd2a1c9265b1180ee3caad7cd9fbe32a0674d7646866ee2b8ea82507fba5d1d1441e7cb771d37c7ac6cdae96f6157801cde3fcf2c599a704f2b82f7d0bc739c0789ae1b192efc06028fdcd4ce25cd920aca9d5f12b4d41e886137992b2abb1b7afc2fc623fad062525b026f297502cde5f0b49a9a6adf229", 16),
+    (112, 256): int(
+        "0x165a26871e09462a6b5a44e0bb6e4fdbe5f46b2496bd32e293d45f92cc7c7f7a8cf41508fdf5932fed05c7abb4f2c2da07f5b7c9910afb396e3ce297720ce00d4279ed41adac2db4cf2951ccd2411cd818a3ee9a0de70695482cdb94c089974384be3328f3d50e4673b10d541b4c93011230be93bd0dd41e46a109776ef12dc6ed2cd8ec9a4ed8131de766aba36a03016280c2c7f6fbdcdbcb1f8ee7c078416419c415e15521423b9", 16),
+    (112, 64): int(
+        "0x1568b247639fec4f2d30b0c6ce2f15763236139cfd24c28ee21255a93a56a22f24764bde13589d4d78fa233575c235140e79d1941de0e90a4d484ed94489bfc9781e651b6d623c13e1c9446d7b225a804fcb3d746fd3accc292e1066813396f051018e4cb1d1615dfde0eb76fee97fc1b47d85c8a4fa4b1b97980b37bf0da4ca79fb0c06f96193f113702a3e9bff35c6c89bf02a609572255596ee9523ef32a3374413cd99fb90d61", 16),
+    (128, 128): int(
+        "0xdc28aea0306171978a8245a9aa8e980e2d8670356bb26e6467acb86d2b1a8cd4c21ae98573ae90ba57e72b2add22d99a485d8d6e17d57c71a88ca8873e1a1dbc208b65ccd73915ded92cd3db7bea37767b75d4128ca20ab10e6d369e74d0d0f46492d30bba9e7e860b88f8062c4138724c8a14b3cde3d20638a2c1f931b2341319adcf2b66f1010475e1fb6d1be319f834f20c64d5ad4366b4738ef0bb302eb891faae1da7c2b1fdd1f036b282f6a537b3f8cb21133c45e6045c4f7531ffc7aedfc1bed5c9f60286d4f26101209de7661275307e2efb6b0b209208b66ed52a8b8e4b9695", 16),
+    (128, 256): int(
+        "0xf92e78bf53c462fd3c7d065aaa8017b89aa5617d95eebccd89643f05099b0be94f50febd28b359759b59f9199064f7e7b7e096cf6c434b9d2df1e335e9e2d0ac7ab3b3fcbb6a44fb3ccfc042456f685102e20c58f105b01b2a7227af87639e8ba680832ba661bfd585414bfcc30f30de8c61ed2a69978f8f8033ba9f0a86a10d4a0793761031946bf698b9f358de4db54c70b885776c538e94f26cc5ea4c40117fefbcd2bba57ccb6c6e9959cb387b53ff7c7c361110691a1098e350aebd1d8fbc772e0cc63aab2089d072a82a62b547a29a6ffffbd7ae2aa07c12543423814815536117", 16),
+    (128, 32): int(
+        "0xa7f5fc92a3257692cae45ae0c3bdbc3b181fc133bb5c56c00d31d72a66b4cd91d32e3592b9c3c7c874a4a908e69072576a501cd8e078fe3395a0b155b8b42002db0afa8c005dc8d3052af07978d3866d31d6c58d65e75fbde7ced500304db17667f491683ac4a346f68f5c8bd26e8045a350ff3ffc73d994c5f2d7ce8f7af964d30c74c0bf6f2a68b91eee237f306dce39f6b3b0815ef04c4b4bc5b224deba27c204484d44ca45e56f5c98695ed77823f932edf8698a6f66c56f044f30135030b304b833cf75ab17b4daaed619a7d77d07646523f3f407fb2e94364fd26329271571086b", 16),
+    (128, 64): int(
+        "0x94e1a897e649d2c4925b8447abe6a301802dde153f2b774333de903449897aa7d03da24108eb2bcdef3c4d7cafe2366aec6c1632e18121ff237139a9c5f8b46a49ed5c9fe80e50e1a7b1d30f61a1d35581e8d4309591feed5dbfa71612d59c2069e953c897cfb7aa41e271a1d873afc42236f82f07f889647e08698dad7920c19b9f91494953fee355e5b2cd4c6b54d50bcdf329119c21aa13315146d1d93d070d6080c09c0e829f48f45cb13ceabe27bb60ddbbf30a93ed4f0f8f577808c15130e089b1ed656eaf8eae448b2aa22fc79475f90eee23f98da39fa34e2ba9b2b15ceb16d3", 16),
+    (80, 128): int(
+        "0x12bfeadeed1f0dedff5462133b1771f9e4285da2dff3ac65633063cf6eefc9646cf5201f465b9f302d94dc318b93ad8ce0086b7994f071766170a560d6fa9ba36dffbc637f4871bf10a3af95db5b8f195357f822ab31efa741853ee1a5c532da768691ad0aff7b9331d08d8a4b14666f616ba1d35793ebb856d9e45a04ddf", 16),
+    (80, 256): int(
+        "0x1a0c43d57721447578fcb0ebdd27e1a2275c840bb51ec759762b10a74edb2e954da9bc865e17d30786f58cd5449a0d47cf3db29b7b2313fc64be8d77750ba3a182bc0121fdd76343288f1a1d18aa34495109d1b03a0327c51314ef8dbc5478ab45d067b4667813a8f76a7d287c170f32383df7e5472bdf6fbdcb8069e75d3", 16),
+    (80, 32): int(
+        "0x117e0ace4d052f117ea4e9f9e0368faa02cc8e4432b3a0e1f286aecdf3b3b62c8417dac4640a644729f426df844535d6c07bd2686ada79d68c2eed0c9b0cc612db304e41c50b39a665e4b2b33b332e95de2fab4c1d181dcdf9824c73d9110070e81af66627fe0e401eb718f7ba06571571533c2f8eb0f30fce1246ed0c9e3", 16),
+    (80, 64): int(
+        "0x1e768bc86c1a3de1f129dde13297ed11354a7b8a7435e1824e1025f2b10d65b0786b366d5fa28559ff7ca9fe94cb58c2be9f6bd45e8ef89ce2e7c69668b6f0a33af2e35fa6a0294c6b090736bd7b481a95406c47db4901bfd358b69ba521e4c0ebf55b253f4b56b4d8afabdc13a342721b884eaeef61adc5859f67c0422d9", 16),
+}
+
+
 def _derive_p(security_level: int, k: int) -> int:
     """Deterministic prime p for DeltaK = -8p, derived from (sec, k) only."""
     if security_level not in DISC_BITS:
@@ -83,6 +112,15 @@ def _derive_p(security_level: int, k: int) -> int:
 
 @lru_cache(maxsize=16)
 def _cached_params(security_level: int, k: int) -> int:
+    import os
+
+    override = os.environ.get("COFHE_P_OVERRIDE")
+    if override:
+        # test hook: tiny toy prime shared by every process of a local
+        # network (production nodes derive p deterministically from sec/k)
+        return int(override, 16)
+    if (security_level, k) in _PRECOMPUTED_P:
+        return _PRECOMPUTED_P[(security_level, k)]
     return _derive_p(security_level, k)
 
 

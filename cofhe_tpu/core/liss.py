@@ -110,6 +110,24 @@ def combination_rank(combo: tuple[int, ...], n: int) -> int:
     return rank
 
 
+def rank_indexed_shares(party_shares: list[list[int]], n: int, t: int) -> list[list[int]]:
+    """Expand per-party share lists (one entry per combination containing the
+    party, in lexicographic order) into C(n,t)-long rank-indexed lists where
+    entry r is the party's share for combination rank r (0 when the party is
+    not in that combination). This is the layout CoFHE nodes store so the
+    wire `sk_share_id` (= combination rank) indexes directly."""
+    from math import comb
+
+    num = comb(n, t)
+    out = [[0] * num for _ in range(n)]
+    counters = [0] * n
+    for r, combo in enumerate(combinations(range(n), t)):
+        for member in combo:
+            out[member][r] = party_shares[member][counters[member]]
+            counters[member] += 1
+    return out
+
+
 def share_index_for_party(party: int, combo: tuple[int, ...], n: int) -> int:
     """Index into party's local share list for the given combination: the
     number of earlier lexicographic combinations containing `party`."""

@@ -348,6 +348,22 @@ def mag_shr_bits(mag, bits: int):
     return (x >> rem) | ((up << (BASE_BITS - rem)) & MASK)
 
 
+def mag_shl_bits_dyn(mag, bits):
+    """Left shift by per-element dynamic bit count; caller guarantees the
+    result fits the buffer."""
+    L = mag.shape[-1]
+    limbs = bits // BASE_BITS
+    rem = bits % BASE_BITS
+    src = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape) - limbs[..., None]
+    valid = src >= 0
+    lo = jnp.take_along_axis(mag, jnp.clip(src, 0, L - 1), axis=-1) * valid
+    valid2 = (src - 1) >= 0
+    dn = jnp.take_along_axis(mag, jnp.clip(src - 1, 0, L - 1), axis=-1) * valid2
+    r = rem[..., None]
+    out = jnp.where(r == 0, lo, ((lo << r) & MASK) | (dn >> (BASE_BITS - r)))
+    return out
+
+
 def mag_shr_bits_dyn(mag, bits):
     """Right shift by per-element dynamic bit count (0 <= bits < 16*L)."""
     L = mag.shape[-1]
@@ -431,6 +447,22 @@ def _div_digit_estimate(x_mant, x_exp, y_mant, y_exp, shift_bits):
 # ---------------------------------------------------------------------------
 
 
+def mag_v2(mag):
+    """2-adic valuation per element (trailing zero bits); 16*L for zero."""
+    L = mag.shape[-1]
+    nz = mag != 0
+    idx = jnp.arange(L, dtype=jnp.int32)
+    first = jnp.min(jnp.where(nz, idx, L), axis=-1)  # (...,)
+    limb = jnp.take_along_axis(mag, jnp.clip(first, 0, L - 1)[..., None], axis=-1)[..., 0]
+    tz = jnp.zeros_like(limb)
+    done = jnp.zeros_like(limb, dtype=bool)
+    for j in range(BASE_BITS):
+        bit = (limb >> j) & 1
+        done = done | (bit == 1)
+        tz = tz + jnp.logical_not(done).astype(jnp.int32)
+    return jnp.where(first >= L, L * BASE_BITS, first * BASE_BITS + tz)
+
+
 def modinv16(y0):
     """Inverse of odd y0 modulo 2^16 (elementwise Newton)."""
     x = y0
@@ -498,16 +530,16 @@ def mag_divmod(x, y, Lq: int):
         q_hi = qd >> 8
         sub = q_lo[..., None] * yv + q_hi[..., None] * y8  # < 2^25
         sub_shifted = mag_shl_limbs_dyn(sub, j, Lx)
-        s2, m2 = canonicalize(sgn[..., None] * rem - sub_shifted)
+        s2, m2 = canonicalize_fast(sgn[..., None] * rem - sub_shifted)
         # fix down: while negative, qd -= 1, rem += y<<16j
         for _ in range(3):
             neg = (s2 < 0) & ok
-            s2, m2 = canonicalize(s2[..., None] * m2 + jnp.where(neg[..., None], yshift, 0))
+            s2, m2 = canonicalize_fast(s2[..., None] * m2 + jnp.where(neg[..., None], yshift, 0))
             qd = qd - neg.astype(jnp.int32)
         # fix up: while rem >= y<<16j, qd += 1, rem -= y<<16j
         for _ in range(2):
             ge = (s2 > 0) & ok & (mag_cmp(m2, yshift) >= 0)
-            s2, m2 = canonicalize(s2[..., None] * m2 - jnp.where(ge[..., None], yshift, 0))
+            s2, m2 = canonicalize_fast(s2[..., None] * m2 - jnp.where(ge[..., None], yshift, 0))
             qd = qd + ge.astype(jnp.int32)
         return (s2, m2), qd
 

@@ -185,16 +185,24 @@ def xgcd_mod(f_mag, g_mag, m_mag, nbits: int):
     R = jnp.zeros_like(f)
     S = jnp.zeros_like(f).at[..., 0].set(1)
 
-    def body(state, _):
-        delta, f, g, P, Q, R, S = state
+    def cond(state):
+        k, delta, f, g, P, Q, R, S = state
+        # early exit once every g is the all-zero representation (value 0 in
+        # the redundant encoding is sufficient, not necessary — safe either
+        # way; the invariant P*f0 + Q*g0 ≡ f_current (mod m) holds after any
+        # number of groups).
+        return (k < groups) & jnp.any(g != 0)
+
+    def body(state):
+        k, delta, f, g, P, Q, R, S = state
         delta, u, v, q, r = _divstep_group(delta, f[..., 0], g[..., 0])
         f2, g2 = _apply_to_fg(u, v, q, r, f, g)
         P2, R2 = _apply_bezout_mod(u, v, q, r, P, R, m, m8, minv_w, m_scaled_f32, m_top)
         Q2, S2 = _apply_bezout_mod(u, v, q, r, Q, S, m, m8, minv_w, m_scaled_f32, m_top)
-        return (delta, f2, g2, P2, Q2, R2, S2), None
+        return (k + 1, delta, f2, g2, P2, Q2, R2, S2)
 
-    (delta, f, g, P, Q, R, S), _ = jax.lax.scan(
-        body, (delta, f, g, P, Q, R, S), None, length=groups)
+    (_, delta, f, g, P, Q, R, S) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), delta, f, g, P, Q, R, S))
 
     # f now holds ±gcd (redundant); P,Q ≡ (matrix f-row) * 2^-sigma mod m and
     # u_true * f0 + v_true * g0 = 2^sigma * f_final, so P*f0 + Q*g0 ≡ f_final.
