@@ -166,12 +166,21 @@ def _normalize_step(bf: BForm) -> BForm:
     L = bf.a.shape[-1]
     a_mant, a_exp = lb.mag_float(bf.a)
     b_mant, b_exp = lb.mag_float(bf.b)
-    ratio = b_mant / jnp.maximum(a_mant, 1.0)  # in ~[2^-1, 2^49)
+    ratio = b_mant / jnp.maximum(a_mant, 1.0)
     e = b_exp - a_exp - 1  # q ~= ratio * 2^e
-    rbits = jnp.ceil(jnp.log2(jnp.maximum(ratio, 0.5))).astype(jnp.int32)
-    shift = jnp.maximum(e + rbits - 13, 0)
-    qd = jnp.clip(jnp.round(ratio * jnp.exp2(
-        jnp.clip((e - shift).astype(jnp.float32), -30.0, 14.0))), 0.0, 16383.0).astype(jnp.int32)
+    # renormalize: ratio = frac * 2^lr with frac in [1, 2) — mantissas from
+    # mag_float are not aligned, so ratio can be enormous or tiny and all the
+    # exponent arithmetic must stay exact in int32
+    lr = jnp.floor(jnp.log2(jnp.maximum(ratio, 1e-30))).astype(jnp.int32)
+    frac = ratio * jnp.exp2(jnp.clip(-lr, -126, 126).astype(jnp.float32))
+    qbits = lr + e + 1  # ceil-ish bit size of the estimated quotient
+    shift = jnp.maximum(qbits - 13, 0)
+    expo = lr + e - shift  # <= 13 by construction
+    qd = jnp.clip(jnp.round(frac * jnp.exp2(
+        jnp.clip(expo, -30, 14).astype(jnp.float32))), 0.0, 16383.0).astype(jnp.int32)
+    # |b| > a needs q >= 1 (the f32 estimate can round b/(2a) in (0.5, 1)
+    # down to 0, which would loop forever)
+    qd = jnp.where((lb.mag_cmp(bf.b, bf.a) > 0) & (qd == 0), 1, qd)
     qsign = bf.b_sign
 
     def shifted(mag_red):
