@@ -51,8 +51,10 @@ def _serialize_fields_tensor(t: Tensor, fields_of) -> bytes:
     all_fields: list[int] = []
     for elem in t.data:
         all_fields.extend(fields_of(elem))
-    nf = len(all_fields)
     header = struct.pack("<I", ndim) + b"".join(struct.pack("<I", d) for d in shape)
+    native = _native_pack(all_fields)
+    if native is not None:
+        return header + native
     offsets = []
     off = 0
     sizes = []
@@ -67,6 +69,29 @@ def _serialize_fields_tensor(t: Tensor, fields_of) -> bytes:
     return header + table + data
 
 
+def _native_pack(all_fields: list[int]) -> bytes | None:
+    """Offset table + data region via the C++ codec (csrc/codec.cpp)."""
+    if not all_fields:
+        return None
+    try:
+        from . import native
+        from .ops import limb as lb
+    except Exception:
+        return None
+    if native.get_lib() is None:
+        return None
+    import numpy as np
+
+    max_bits = max(abs(v).bit_length() for v in all_fields)
+    L = max_bits // 16 + 1
+    signs, limbs = lb.ints_to_signed(all_fields, L)
+    packed = native.pack_fields(limbs, signs)
+    if packed is None:
+        return None
+    offsets, data = packed
+    return offsets.tobytes() + data
+
+
 def _deserialize_fields_tensor(blob: bytes, fields_per_elem: int, build):
     ndim = struct.unpack_from("<I", blob, 0)[0]
     shape = tuple(struct.unpack_from("<I", blob, 4 + 4 * i)[0] for i in range(ndim))
@@ -75,18 +100,46 @@ def _deserialize_fields_tensor(blob: bytes, fields_per_elem: int, build):
         num *= d
     pos = 4 + 4 * ndim
     nf = num * fields_per_elem
-    offsets = [struct.unpack_from("<Q", blob, pos + 8 * i)[0] for i in range(nf)]
     data_start = pos + 8 * nf
-    values: list[int] = []
-    for i in range(nf):
-        start = offsets[i] & _OFF_MASK
-        end = (offsets[i + 1] & _OFF_MASK) if i + 1 < nf else len(blob) - data_start
-        v = int.from_bytes(blob[data_start + start:data_start + end], "little")
-        if offsets[i] & _SIGN_BIT:
-            v = -v
-        values.append(v)
+    values = _native_unpack(blob, pos, nf, data_start)
+    if values is None:
+        offsets = [struct.unpack_from("<Q", blob, pos + 8 * i)[0] for i in range(nf)]
+        values = []
+        for i in range(nf):
+            start = offsets[i] & _OFF_MASK
+            end = (offsets[i + 1] & _OFF_MASK) if i + 1 < nf else len(blob) - data_start
+            v = int.from_bytes(blob[data_start + start:data_start + end], "little")
+            if offsets[i] & _SIGN_BIT:
+                v = -v
+            values.append(v)
     elems = [build(values[i * fields_per_elem:(i + 1) * fields_per_elem]) for i in range(num)]
     return Tensor(elems, shape)
+
+
+def _native_unpack(blob: bytes, pos: int, nf: int, data_start: int):
+    if nf == 0:
+        return []
+    try:
+        from . import native
+        from .ops import limb as lb
+    except Exception:
+        return None
+    if native.get_lib() is None:
+        return None
+    import numpy as np
+
+    offsets = np.frombuffer(blob, dtype=np.uint64, count=nf, offset=pos)
+    data = blob[data_start:]
+    # L from the largest field
+    offs = offsets.astype(np.int64) & _OFF_MASK
+    ends = np.concatenate([offs[1:], np.asarray([len(data)], dtype=np.int64)])
+    max_bytes = int((ends - offs).max()) if nf else 1
+    L = (max_bytes + 1) // 2 + 1
+    out = native.unpack_fields(offsets, data, L)
+    if out is None:
+        return None
+    limbs, signs = out
+    return lb.limbs_to_ints(limbs, signs)
 
 
 # -- tensors ----------------------------------------------------------------

@@ -2,13 +2,31 @@
 multi-chip sharding paths compile and run without TPU hardware."""
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = os.environ.get("COFHE_TEST_PLATFORM", "cpu")
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    # keep the axon TPU-tunnel plugin fully out of CPU test runs: its
+    # remote-compile/transport threads intermittently deadlock jit compiles
+    os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import faulthandler
+import signal
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
+
 import pytest
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from cofhe_tpu.core.cl_hsm2k import CLHSM2k
 from cofhe_tpu.core.intmath import is_prime
