@@ -14,6 +14,7 @@ if os.environ["JAX_PLATFORMS"] == "cpu":
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")  # jax >= 0.5 spelling
 
 import faulthandler
 import signal
@@ -24,6 +25,11 @@ import pytest
 
 import jax
 
+# the axon sitecustomize imports jax at interpreter startup, so env vars are
+# too late — use config.update (works pre-backend-init)
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"] or None)
+if os.environ["JAX_PLATFORMS"] == "cpu":
+    jax.config.update("jax_num_cpu_devices", int(os.environ.get("JAX_NUM_CPU_DEVICES", "8")))
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
