@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--device", default=os.environ.get("COFHE_DEVICE", "host"),
                     choices=["host", "tpu", "cpu-jax"])
     ap.add_argument("--toy", action="store_true", help="tiny parameters for local demos")
+    ap.add_argument("--state", default=None,
+                    help="setup-node checkpoint file (restore on restart)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -56,7 +58,7 @@ def main(argv=None):
             type="CoFHE_TPU", public_key="", security_level=args.security_level,
             k=args.k, threshold=args.threshold, total_nodes=args.total_nodes)
         server, _handler = node_factories.make_setup_node(
-            self_node, cs_details, device=args.device, **tls)
+            self_node, cs_details, device=args.device, state_path=args.state, **tls)
         print(f"setup node listening on {args.ip}:{args.port}", flush=True)
         server.run_forever()
     elif args.role == "cofhe_node":

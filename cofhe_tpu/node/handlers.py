@@ -34,23 +34,39 @@ log = logging.getLogger("cofhe_tpu.node")
 
 class SetupNodeHandler:
     def __init__(self, self_node: NodeDetails, cs_details: CryptoSystemDetails,
-                 device: str = "host"):
+                 device: str = "host", state_path: str | None = None):
         self.self_node = self_node
         self.cs_details = cs_details
         self.cs = CryptoSystem(cs_details.security_level, cs_details.k, device=device)
-        # trusted-dealer keygen (join_as_node.hpp:365-385)
-        self.sk = self.cs.keygen()
-        self.pk = self.cs.keygen(self.sk)
-        self.cs_details.public_key = self.cs.serialize_public_key(self.pk)
-        n, t = cs_details.total_nodes, cs_details.threshold
-        party_shares = self.cs.keygen(self.sk, t, n)
-        self.rank_shares = liss.rank_indexed_shares(party_shares, n, t)
-        self._next_party = 0
+        self.state_path = state_path
         self._lock = threading.Lock()
         self.nodes: list[NodeDetails] = [self_node]
+        restored = False
+        if state_path:
+            from .checkpoint import load_setup_state
+
+            restored = load_setup_state(self, state_path)
+            if restored:
+                log.info("setup node state restored from %s", state_path)
+        if not restored:
+            # trusted-dealer keygen (join_as_node.hpp:365-385)
+            self.sk = self.cs.keygen()
+            self.pk = self.cs.keygen(self.sk)
+            self.cs_details.public_key = self.cs.serialize_public_key(self.pk)
+            n, t = cs_details.total_nodes, cs_details.threshold
+            party_shares = self.cs.keygen(self.sk, t, n)
+            self.rank_shares = liss.rank_indexed_shares(party_shares, n, t)
+            self._next_party = 0
+            self._checkpoint()
         from ..smpc.triplets import BeaversTripletGenerator
 
         self.triplet_gen = BeaversTripletGenerator(self.cs, self.pk)
+
+    def _checkpoint(self):
+        if self.state_path:
+            from .checkpoint import save_setup_state
+
+            save_setup_state(self, self.state_path)
 
     # ------------------------------------------------------------------
     def network_details_for(self, requester: NodeDetails | None = None) -> NetworkDetails:
@@ -79,6 +95,7 @@ class SetupNodeHandler:
                 party = self._next_party
                 self._next_party += 1
                 self.nodes.append(NodeDetails(jreq.ip, jreq.port, NodeType.COFHE_NODE))
+                self._checkpoint()
                 shares = [str(s) for s in self.rank_shares[party]]
                 return wire.JoinAsNodeResponse(
                     Status.OK, wire.JoinType.JOIN_AS_COFHE_NODE,
@@ -86,6 +103,7 @@ class SetupNodeHandler:
                     secret_key_shares=shares).to_bytes()
             else:
                 self.nodes.append(NodeDetails(jreq.ip, jreq.port, NodeType.COMPUTE_NODE))
+                self._checkpoint()
                 return wire.JoinAsNodeResponse(
                     Status.OK, wire.JoinType.JOIN_AS_COMPUTE_NODE).to_bytes()
 

@@ -31,8 +31,10 @@ def _server_ssl(certfile: str | None, keyfile: str | None) -> ssl.SSLContext | N
 
 def make_setup_node(self_node: NodeDetails, cs_details: CryptoSystemDetails,
                     certfile: str | None = None, keyfile: str | None = None,
-                    device: str = "host") -> tuple[Server, SetupNodeHandler]:
-    handler = SetupNodeHandler(self_node, cs_details, device=device)
+                    device: str = "host", state_path: str | None = None
+                    ) -> tuple[Server, SetupNodeHandler]:
+    handler = SetupNodeHandler(self_node, cs_details, device=device,
+                               state_path=state_path)
     server = Server(self_node.ip, int(self_node.port), handler.handle,
                     _server_ssl(certfile, keyfile))
     return server, handler

@@ -45,7 +45,7 @@ def make_mesh(devices=None, dp: int | None = None, tp: int | None = None) -> Mes
         dp = ndev // tp
     elif tp is None:
         tp = ndev // dp
-    arr = np.asarray(devices).reshape(dp, tp)
+    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
 
