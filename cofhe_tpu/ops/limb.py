@@ -40,18 +40,15 @@ MASK = BASE - 1
 
 
 def ints_to_limbs(values, L: int) -> np.ndarray:
-    """Python ints -> (n, L) int32 magnitude limbs (host-side)."""
-    out = np.zeros((len(values), L), dtype=np.int32)
+    """Python ints -> (n, L) int32 magnitude limbs (host-side; one
+    int.to_bytes per value, C-speed)."""
+    n = len(values)
+    buf = bytearray(n * L * 2)
+    nb = L * 2
     for i, v in enumerate(values):
-        v = abs(int(v))
-        j = 0
-        while v:
-            if j >= L:
-                raise OverflowError("value does not fit in limb buffer")
-            out[i, j] = v & MASK
-            v >>= BASE_BITS
-            j += 1
-    return out
+        a = abs(int(v))
+        buf[i * nb:(i + 1) * nb] = a.to_bytes(nb, "little")  # raises if too big
+    return np.frombuffer(bytes(buf), dtype="<u2").reshape(n, L).astype(np.int32)
 
 
 def ints_to_signed(values, L: int):
@@ -61,13 +58,11 @@ def ints_to_signed(values, L: int):
 
 def limbs_to_ints(mag, sign=None) -> list[int]:
     mag = np.asarray(mag)
-    flat = mag.reshape(-1, mag.shape[-1])
-    vals = []
-    for row in flat:
-        v = 0
-        for limb in row[::-1]:
-            v = (v << BASE_BITS) | int(limb)
-        vals.append(v)
+    flat = np.ascontiguousarray(mag.reshape(-1, mag.shape[-1]).astype("<u2"))
+    nb = flat.shape[1] * 2
+    raw = flat.tobytes()
+    vals = [int.from_bytes(raw[i * nb:(i + 1) * nb], "little")
+            for i in range(flat.shape[0])]
     if sign is not None:
         s = np.asarray(sign).reshape(-1)
         vals = [int(si) * v for si, v in zip(s, vals)]
