@@ -257,8 +257,19 @@ def compose_batch(F1: BForm, F2: BForm, spec: FormSpec, delta4_mag: jnp.ndarray,
 
     # xgcd #1: gcd(a2, a1) with Bezout mod a2; beta = a1-coefficient
     d1, _alpha, beta = xgcd_mod(a2, a1, a2, nbits)
-    # xgcd #2: gcd(d1, |s|)
-    g, xi, eta = xgcd_mod(d1, smag, a2, nbits)
+    # xgcd #2: gcd(d1, |s|). Random reduced forms are coprime with
+    # overwhelming probability, so when EVERY element has d1 == 1 we can
+    # skip the whole second xgcd: g = 1, xi = 1, eta = 0.
+    d1_is_one = (d1[..., 0] == 1) & (jnp.sum(jnp.abs(d1), axis=-1) == 1)
+
+    def _skip(_):
+        one = jnp.zeros_like(d1).at[..., 0].set(1)
+        return one, one, jnp.zeros_like(d1)
+
+    def _full(_):
+        return xgcd_mod(d1, smag, a2, nbits)
+
+    g, xi, eta = jax.lax.cond(jnp.all(d1_is_one), _skip, _full, None)
 
     # m2 = a2/g, a1g = a1/g (g odd since it divides odd a2... via d1 | a2)
     m2 = lb.mag_divexact_odd(a2, g, L)

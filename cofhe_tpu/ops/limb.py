@@ -206,7 +206,7 @@ def sm_add(a, b):
     sa, ma = a
     sb, mb = b
     L = max(ma.shape[-1], mb.shape[-1])
-    return canonicalize(sa[..., None] * resize(ma, L) + sb[..., None] * resize(mb, L))
+    return canonicalize_fast(sa[..., None] * resize(ma, L) + sb[..., None] * resize(mb, L))
 
 
 def sm_sub(a, b):
@@ -267,24 +267,43 @@ def _from8(x8):
         [jnp.zeros_like(hi_carry[..., :1]), hi_carry[..., :-1]], axis=-1)
 
 
+_CONV_CHUNK = 256  # kernel chunk width: 255^2 * 256 < 2^24 keeps f32 exact
+
+
+def _poly_mul8(a8, b8):
+    """Exact per-batch polynomial product of 8-bit limb vectors via grouped
+    (depthwise) convolution on the MXU: (B, n) x (B, m) -> (B, n+m-1) int32.
+
+    f32 accumulation is exact because the kernel is chunked to <= 256 taps
+    (255^2 * 256 < 2^24). No Toeplitz materialization — O(B*(n+m)) memory."""
+    B, n = a8.shape
+    m = b8.shape[-1]
+    lhs = a8.astype(jnp.float32)[None]  # (1, B, n)  'NCH'
+    out = jnp.zeros((B, n + m - 1), jnp.float32)
+    for start in range(0, m, _CONV_CHUNK):
+        mc = min(_CONV_CHUNK, m - start)
+        kern = b8[:, start:start + mc].astype(jnp.float32)
+        kern = jnp.flip(kern, axis=-1)[:, None, :]  # (B, 1, mc) 'OIH'
+        res = jax.lax.conv_general_dilated(
+            lhs, kern, window_strides=(1,), padding=[(mc - 1, mc - 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=B)[0]  # (B, n + mc - 1)
+        out = out.at[:, start:start + n + mc - 1].add(res)
+    return out.astype(jnp.int32)
+
+
 def mag_mul(ma, mb, L_out: int | None = None):
-    """Magnitude product via 8-bit Toeplitz matmul. Output (..., L_out)."""
+    """Magnitude product via 8-bit grouped convolution. Output (..., L_out)."""
     La, Lb = ma.shape[-1], mb.shape[-1]
     if L_out is None:
         L_out = La + Lb
     a8 = _to8(ma)
     b8 = _to8(mb)
-    n, m = a8.shape[-1], b8.shape[-1]
-    k_idx = jnp.arange(n + m - 1)
-    i_idx = jnp.arange(n)
-    gather = k_idx[None, :] - i_idx[:, None]  # (n, n+m-1)
-    valid = (gather >= 0) & (gather < m)
-    gather_c = jnp.clip(gather, 0, m - 1)
-    T = jnp.take(b8, gather_c, axis=-1) * valid.astype(jnp.int32)
-    # products <= 255*255, accumulated over <= min(n,m) <= ~600 terms < 2^25
-    c8 = jnp.einsum("...i,...ik->...k", a8, T, preferred_element_type=jnp.int32)
+    lead = a8.shape[:-1]
+    c8 = _poly_mul8(a8.reshape(-1, a8.shape[-1]), b8.reshape(-1, b8.shape[-1]))
+    c8 = c8.reshape(*lead, c8.shape[-1])
     red16 = resize(_from8(c8), L_out)
-    mag, _ = _carry_scan(red16)
+    _, mag = canonicalize_fast(red16)  # values are nonnegative
     return mag
 
 
@@ -304,7 +323,7 @@ def sm_scalar_mul(a, scalar, L_out: int | None = None):
     if L_out is not None:
         m = resize(m, L_out)
     red = m * jnp.abs(scalar)[..., None]  # < 2^31
-    sgn, mag = canonicalize(red)
+    sgn, mag = canonicalize_fast(red)
     return sgn * s * jnp.sign(scalar), mag
 
 
@@ -330,7 +349,7 @@ def mag_shl_bits(mag, bits: int, L_out: int | None = None):
     x = mag_shl_limbs(mag, limbs, L_out)
     if rem == 0:
         return x
-    mag2, _ = _carry_scan(x << rem)
+    _, mag2 = canonicalize_fast(x << rem)
     return mag2
 
 
@@ -469,7 +488,7 @@ def modinv16(y0):
 def _shl8(mag, L: int):
     """Canonical magnitude of (mag << 8), length L."""
     m = resize(mag, L)
-    out, _ = _carry_scan(m << 8)
+    _, out = canonicalize_fast(m << 8)
     return out
 
 

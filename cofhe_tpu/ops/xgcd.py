@@ -206,11 +206,11 @@ def xgcd_mod(f_mag, g_mag, m_mag, nbits: int):
 
     # f now holds ±gcd (redundant); P,Q ≡ (matrix f-row) * 2^-sigma mod m and
     # u_true * f0 + v_true * g0 = 2^sigma * f_final, so P*f0 + Q*g0 ≡ f_final.
-    sf, fmag = canonicalize(f)
+    sf, fmag = canonicalize_fast(f)
     d = fmag
     # normalize Bezout: want u*f0 + v*g0 ≡ +d (mod m): flip sign if f_final<0
-    sP, mP = canonicalize(P)
-    sQ, mQ = canonicalize(Q)
+    sP, mP = canonicalize_fast(P)
+    sQ, mQ = canonicalize_fast(Q)
     flip = sf < 0
     sP = jnp.where(flip, -sP, sP)
     sQ = jnp.where(flip, -sQ, sQ)
@@ -223,9 +223,9 @@ def _mod_into_range(sign, mag, m):
     """Signed value with |value| < 4m -> canonical residue in [0, m)."""
     x = sign[..., None] * mag
     for _ in range(4):
-        s, mg = canonicalize(x)
+        s, mg = canonicalize_fast(x)
         too_big = (s > 0) & (mag_cmp(mg, m) >= 0)
         neg = s < 0
         x = s[..., None] * mg + jnp.where(neg[..., None], m, 0) - jnp.where(too_big[..., None], m, 0)
-    s, mg = canonicalize(x)
+    s, mg = canonicalize_fast(x)
     return mg
