@@ -34,7 +34,8 @@ from ..core.cl_hsm2k import CipherText, CLHSM2k
 from ..core.qfi import Form
 from . import limb as lb
 from .forms import BForm, FormSpec, bform_from_forms, bform_to_forms, compose_batch
-from .nupow import identity_bform, nupow_batch, nupow_shared
+from .nupow import (identity_bform, nupow_batch, nupow_shared,
+                    nupow_shared_wnaf)
 
 
 def _bucket(n: int) -> int:
@@ -90,12 +91,48 @@ class JaxEngine:
         return k
 
     @functools.lru_cache(maxsize=32)
+    def _matmul_pow_kernel(self, n: int, m: int, p: int):
+        """Batched nupow for the (n,m)x(m,p) matmul with the doubling chain
+        shared across the p exponents of each ciphertext cell (the TPU form
+        of the reference's cross-exponent doubling cache, qfi.inl:28-62)."""
+        spec, d4 = self.spec, self.delta4
+        exp_bits = self.hsm.k
+        nmp = n * m * p
+        half_b = _bucket(n * m)
+        half_e = _bucket(nmp)
+        base_map = np.zeros(2 * half_e, dtype=np.int32)
+        for i in range(n):
+            for j in range(m):
+                for kk in range(p):
+                    flat = (i * m + j) * p + kk
+                    base_map[flat] = i * m + j
+                    base_map[half_e + flat] = half_b + i * m + j
+        base_map[nmp:half_e] = 0
+        base_map[half_e + nmp:] = 0
+
+        @jax.jit
+        def k(base, exps):
+            return nupow_batch(base, exps, spec, d4, exp_bits, base_map=base_map)
+
+        return k, half_b, half_e
+
+    @functools.lru_cache(maxsize=32)
     def _shared_pow_kernel(self, batch: int, nbits: int):
         spec, d4 = self.spec, self.delta4
 
         @jax.jit
         def k(base, bits):
             return nupow_shared(base, bits, spec, d4)
+
+        return k
+
+    @functools.lru_cache(maxsize=32)
+    def _shared_wnaf_kernel(self, batch: int, sched_len: int, w: int):
+        spec, d4 = self.spec, self.delta4
+
+        @jax.jit
+        def k(base, sched):
+            return nupow_shared_wnaf(base, sched, spec, d4, w=w)
 
         return k
 
@@ -137,12 +174,15 @@ class JaxEngine:
             return [self._identity_form] * n
         neg = share < 0
         e = abs(share)
-        bits = [int(b) for b in bin(e)[2:]]
-        # pad to a multiple of 64 leading zeros so the kernel caches by a
-        # coarse bit-length bucket, not the exact exponent size
-        pad = (-len(bits)) % 64
-        bits = [0] * pad + bits
-        out = self._shared_pow_kernel(batch, len(bits))(bf, jnp.asarray(bits, jnp.int32))
+        # width-5 wNAF schedule, front-padded to a multiple of 64 so the
+        # kernel caches by a coarse length bucket, not the exact exponent
+        from .nupow import wnaf_digits
+
+        w = 5
+        sched = wnaf_digits(e, w)
+        sched = [0] * ((-len(sched)) % 64) + sched
+        out = self._shared_wnaf_kernel(batch, len(sched), w)(
+            bf, jnp.asarray(sched, jnp.int32))
         forms = bform_to_forms(jax.tree.map(np.asarray, out))[:n]
         if neg:
             from ..core.qfi import neg as qneg, reduce_form
@@ -173,27 +213,23 @@ class JaxEngine:
         m2, p = s_tensor.shape
         k_bits = self.hsm.k
         Lk = (k_bits + lb.BASE_BITS - 1) // lb.BASE_BITS
-        # build the n*m*p product batch (c1 then c2 halves)
-        prod_forms_c1 = []
-        prod_forms_c2 = []
-        exps = []
-        for i in range(n):
-            for j in range(m):
-                ct = ct_tensor.at(i, j)
-                for kk in range(p):
-                    prod_forms_c1.append(ct.c1)
-                    prod_forms_c2.append(ct.c2)
-                    exps.append(int(s_tensor.at(j, kk)))
+        # base forms: one (c1, c2) pair per ciphertext CELL (n*m of each);
+        # the Yao kernel shares each cell's doubling chain across its p
+        # exponents via base_map.
+        kern, half_b, half = self._matmul_pow_kernel(n, m, p)
+        cells = [ct_tensor.at(i, j) for i in range(n) for j in range(m)]
+        bf_base = bform_from_forms(
+            [ct.c1 for ct in cells] + [self._identity_form] * (half_b - n * m)
+            + [ct.c2 for ct in cells] + [self._identity_form] * (half_b - n * m),
+            self.spec.L)
+        exps = [int(s_tensor.at(j, kk))
+                for i in range(n) for j in range(m) for kk in range(p)]
         nmp = n * m * p
-        half = _bucket(nmp)
-        bf = bform_from_forms(
-            prod_forms_c1 + [self._identity_form] * (half - nmp)
-            + prod_forms_c2 + [self._identity_form] * (half - nmp), self.spec.L)
         exp_arr = np.zeros((2 * half, Lk), dtype=np.int32)
         e_l = lb.ints_to_limbs(exps, Lk)
         exp_arr[:nmp] = e_l
         exp_arr[half:half + nmp] = e_l
-        powed = self._scal_kernel(2 * half, k_bits)(bf, jnp.asarray(exp_arr))
+        powed = kern(bf_base, jnp.asarray(exp_arr))
 
         # reduction over j (the m axis): reshape each half to (n, m, p) and
         # pairwise-compose along m in log2 steps
