@@ -226,16 +226,15 @@ def sm_cmp(a, b):
 
 
 def mag_cmp(ma, mb):
-    """Lexicographic magnitude compare -> (...,) int32 in {-1, 0, 1}."""
+    """Lexicographic magnitude compare -> (...,) int32 in {-1, 0, 1}.
+    Log-depth: find the highest differing limb with a max-reduction instead
+    of an O(L) sequential scan (this runs inside hot loop conditions)."""
     L = max(ma.shape[-1], mb.shape[-1])
-    d = jnp.sign(resize(ma, L) - resize(mb, L))
-    x = jnp.moveaxis(d, -1, 0)[::-1]  # MSB first
-
-    def step(acc, limb_d):
-        return jnp.where(acc == 0, limb_d, acc), None
-
-    acc, _ = jax.lax.scan(step, jnp.zeros(x.shape[1:], jnp.int32), x)
-    return acc
+    d = resize(ma, L) - resize(mb, L)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    pos = jnp.max(jnp.where(d != 0, idx, -1), axis=-1)  # highest differing limb
+    top = jnp.take_along_axis(d, jnp.clip(pos, 0, L - 1)[..., None], axis=-1)[..., 0]
+    return jnp.where(pos < 0, 0, jnp.sign(top))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,231 @@
+"""Redundant-limb arithmetic: the v2 hot-loop toolkit.
+
+The v1 kernels (ops/limb.py canonicalize_fast & friends) re-canonicalize to
+sign-magnitude inside every loop iteration — ~100 elementwise passes over the
+(batch, L) arrays each time. v2 keeps values REDUNDANT across iterations and
+works with float32 *estimates* instead of exact comparisons, falling back to
+exact fixes only once per call:
+
+* redundant value: int32 limbs x with value = sum x[i] * 2^(16 i); after
+  `carry2` every limb is BALANCED in ~[-2^15 - 2, 2^15 + 2], which (a) bounds
+  products against 14-bit digits inside int32 and (b) guarantees the float
+  estimate below is accurate: with balanced limbs, |value| is within a factor
+  ~4 of the top limb's scale, so the f32 masked sum cannot catastrophically
+  cancel (a plain nonneg carry would create borrow ripples
+  (..., 65535, 65535, -1) whose estimate collapses to 0).
+* `value_est` -> (mant f32, top int32) with value ~= mant * 2^(16 top).
+* `mod_topdown`: x mod m for redundant signed x via 28-bit estimated digits
+  (14+14 split against m and m<<14), limb-aligned shifts (gathers, exact on
+  redundant limbs), early-exit while loop, exact canonical tail.
+* `redc_pow16`: x * 2^(-16 K) mod d for ODD d (Montgomery-style bottom-up
+  clearing) — used with a matching un-scaling pass so no division by d is
+  ever needed.
+
+All trip counts are runtime-adaptive (while_loop early exit) with static
+caps; everything is elementwise/maskable and Pallas-portable.
+
+Replaces the role of GMP mpn division/reduction in the reference's hot path
+(BICYCL nucomp internals behind /root/reference/include/x86_64/qfi.inl).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import limb as lb
+
+MASK = lb.MASK
+BASE_BITS = lb.BASE_BITS
+
+
+def carry_pass(x):
+    """One BALANCED partial carry pass; keeps the value exact. Limbs land in
+    [-2^15, 2^15) plus the folded-in carry of the limb below. The top limb
+    keeps its own carry (callers leave >= 2 guard limbs so it stays small)."""
+    c = (x + (1 << (BASE_BITS - 1))) >> BASE_BITS
+    r = x - (c << BASE_BITS)
+    out = r + jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+    return out.at[..., -1].add(c[..., -1] << BASE_BITS)
+
+
+def carry2(x):
+    return carry_pass(carry_pass(x))
+
+
+def shr1_red(x):
+    """Exact /2 of a redundant value whose VALUE is even (then limb 0 is
+    even, and odd bits of limb i move to bit 15 of limb i-1)."""
+    odd = x & 1
+    down = jnp.concatenate([odd[..., 1:], jnp.zeros_like(odd[..., :1])], axis=-1)
+    return (x >> 1) + (down << 15)
+
+
+def shl_limbs_take(x, j):
+    """x * 2^(16 j) for per-element j >= 0 (pure limb relabeling — exact on
+    redundant limbs). Truncates limbs that fall off the top; callers size
+    buffers so that never holds value."""
+    L = x.shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    src = idx - j[..., None]
+    valid = src >= 0
+    src = jnp.broadcast_to(jnp.clip(src, 0, L - 1), x.shape[:-1] + (L,))
+    return jnp.take_along_axis(x, src, axis=-1) * valid
+
+
+def pow2f(e):
+    """2^e as f32 for int32 e; 0 for e < -126 (underflow), inf-safe for
+    e > 127 is NOT handled — callers clamp."""
+    ok = e >= -126
+    bits = ((jnp.clip(e, -126, 127) + 127) << 23).astype(jnp.int32)
+    val = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return jnp.where(ok, val, 0.0)
+
+
+def log2f_i(mant):
+    """floor-ish log2 |mant| as int32 via f32 exponent bits; 0 -> -200."""
+    bits = jax.lax.bitcast_convert_type(jnp.abs(mant), jnp.int32)
+    e = (bits >> 23) - 127
+    return jnp.where(mant == 0.0, -200, e)
+
+
+def value_est(x):
+    """(mant, top) with value(x) ~= mant * 2^(16 top), mant SIGNED f32.
+
+    x must be carry2-bounded. Relative error ~2^-20. For the all-zero value
+    returns (0.0, 0)."""
+    L = x.shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    nz = x != 0
+    top = jnp.max(jnp.where(nz, idx, 0), axis=-1)
+    e = 16 * (idx - top[..., None])
+    mant = jnp.sum(x.astype(jnp.float32) * pow2f(e), axis=-1)
+    return mant, top
+
+
+def bits_est(mant, top):
+    """~bit length of the estimated value as f32 (signed -> of |value|);
+    -inf-ish (very negative) for zero."""
+    return 16.0 * top.astype(jnp.float32) + _log2_f32(jnp.abs(mant))
+
+
+def _log2_f32(v):
+    bits = jax.lax.bitcast_convert_type(jnp.maximum(v, 1e-30), jnp.int32)
+    e = ((bits >> 23) - 127).astype(jnp.float32)
+    frac = jax.lax.bitcast_convert_type(
+        (bits & 0x7FFFFF) | (127 << 23), jnp.float32)  # in [1, 2)
+    # log2(frac) ~ frac - 1 + small correction; 0.06 max err is fine for our
+    # tolerance windows (we only gate loops with ~0.5-bit margins)
+    return jnp.where(v <= 1e-30, -200.0, e + (frac - 1.0) * (2.0 - frac * 0.5) * 0.7219281)
+
+
+def digit_est(mant_x, top_x, mant_m, top_m, max_digit_bits: int = 28):
+    """Estimate q = value(x) / value(m) as (qd, j) with q ~= qd * 2^(16 j),
+    qd SIGNED int32, |qd| < 2^max_digit_bits, j >= 0.
+
+    Used for top-down reduction: one subtraction of qd*m << 16j removes
+    ~(digit bits) from x. m must be positive."""
+    ratio = mant_x / jnp.maximum(mant_m, 1e-30)
+    ebits = 16 * (top_x - top_m)
+    qbits = ebits + log2f_i(ratio) + 1
+    j = jnp.maximum((qbits - max_digit_bits + 15) // 16, 0)
+    scale = pow2f(jnp.clip(ebits - 16 * j, -126, max_digit_bits + 2))
+    qd = jnp.round(ratio * scale)
+    lim = float((1 << max_digit_bits) - 1)
+    return jnp.clip(qd, -lim, lim).astype(jnp.int32), j
+
+
+def submul_shifted(x, qd, j, m, m14):
+    """x - qd * m * 2^(16 j) on redundant limbs; |qd| < 2^28 via 14+14 split
+    against m (canonical) and m14 (canonical m*2^14). One carry pass folded
+    in so products stay in int32."""
+    s = jnp.sign(qd)
+    a = jnp.abs(qd)
+    lo = (a & 0x3FFF) * s
+    hi = (a >> 14) * s
+    p = carry_pass(lo[..., None] * m) + carry_pass(hi[..., None] * m14)
+    return x - shl_limbs_take(p, j)
+
+
+def mod_topdown(x, m_mag, active=None, max_iters: int = 256, Lq_bits=None):
+    """x mod m -> canonical magnitude in [0, m), for SIGNED redundant x and
+    canonical m >= 1 (per element). active: bool mask — inactive elements
+    are passed through cheaply (their loop work is masked off and they do
+    not hold the early exit open).
+
+    Strategy: estimated 28-bit digits top-down while any active element is
+    est-larger than m, then an exact canonical tail (<= 2 fixes)."""
+    L = x.shape[-1]
+    m = lb.resize(m_mag, L)
+    _, m14 = lb.canonicalize_fast(m << 14)
+    mant_m, top_m = value_est(m)
+    bits_m = bits_est(mant_m, top_m)
+
+    if active is None:
+        active = jnp.ones(x.shape[:-1], bool)
+
+    def need_work(xc):
+        mant_x, top_x = value_est(xc)
+        w = active & (bits_est(mant_x, top_x) > bits_m - 0.75)
+        return w, mant_x, top_x
+
+    def cond(state):
+        _xc, w, _mx, _tx, it = state
+        return (it < max_iters) & jnp.any(w)
+
+    def body(state):
+        xc, w, mant_x, top_x, it = state
+        qd, j = digit_est(mant_x, top_x, mant_m, top_m)
+        qd = jnp.where(w, qd, 0)
+        xn = carry2(submul_shifted(xc, qd, j, m, m14))
+        wn, mxn, txn = need_work(xn)
+        return xn, wn, mxn, txn, it + 1
+
+    x0 = carry2(x)
+    w0, mx0, tx0 = need_work(x0)
+    xf, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, w0, mx0, tx0, jnp.int32(0)))
+
+    # exact tail: |xf| <~ 1.7 m; canonicalize, then fold sign / subtract
+    s, mag = lb.canonicalize_fast(xf)
+    for _ in range(2):
+        ge = (s > 0) & (lb.mag_cmp(mag, m) >= 0)
+        neg = s < 0
+        delta = jnp.where(neg[..., None], m, 0) - jnp.where(ge[..., None], m, 0)
+        s, mag = lb.canonicalize_fast(s[..., None] * mag + delta)
+    return mag
+
+
+def redc_pow16(x, d_mag, d8, dinv16, steps: int, active=None):
+    """x * 2^(-16*steps) mod d for ODD canonical d, redundant nonneg x.
+
+    Per step: add t*d to clear the low 16 bits (t = x0 * (-d^-1) mod 2^16),
+    drop one limb. Returns a redundant value in [0, ~2d). `steps` is static
+    (the caller folds the 2^(16*steps) scale into a matching un-scaling
+    pass); when no element is active the loop exits immediately."""
+    if active is None:
+        active = jnp.ones(x.shape[:-1], bool)
+    minv = (-dinv16) & MASK
+
+    def body(k, xc):
+        t = ((xc[..., 0] & MASK) * minv) & MASK
+        t = jnp.where(active, t, 0)
+        t_lo = t & 0xFF
+        t_hi = t >> 8
+        y = xc + t_lo[..., None] * d_mag + t_hi[..., None] * d8
+        # low limb of y is ≡ 0 mod 2^16: shift down one limb exactly
+        c0 = y[..., 0] >> BASE_BITS
+        y = jnp.concatenate([y[..., 1:], jnp.zeros_like(y[..., :1])], axis=-1)
+        y = y.at[..., 0].add(c0)
+        return carry_pass(y)
+
+    def cond(state):
+        k, _ = state
+        return (k < steps) & jnp.any(active)
+
+    def wbody(state):
+        k, xc = state
+        return k + 1, body(k, xc)
+
+    _, out = jax.lax.while_loop(cond, wbody, (jnp.int32(0), carry_pass(x)))
+    return out
