@@ -1,0 +1,294 @@
+"""v2 batched Gauss composition + reduction on balanced redundant limbs.
+
+Same algebra as ops/forms.py (documented there; mirrors BICYCL nucomp's role
+behind /root/reference/include/x86_64/qfi.inl) but a new computation
+strategy, ~10x fewer elementwise passes:
+
+* identity fast path: operands with a == 1 are substituted by a fixed
+  non-identity form (h) and the result selected afterwards — the Yao bank is
+  mostly identities early on and the identity's c = |Delta|/4 would drag
+  every loop to full width.
+* xgcd via ops/xgcd2.py: single Bezout column, no in-loop canonicalization.
+* second gcd g = gcd(d1, |s|) via Montgomery REDC at width 8 (d1 < 2^120
+  with a full-width rare-path fallback that early-exits to ~zero work when
+  unused), then xi from the EXACT integer identity
+      xi = (g - eta0*|s|) / d1
+  so no big division for the Bezout triple at all.
+* mu = [u*(b2-b1) - 2*w*c1] mod 2*m2 with ONE estimate-driven top-down
+  reduction (rl.mod_topdown) instead of two schoolbook long divisions.
+* reduction: estimate-driven rho-descent on redundant (a, b, c) with 28-bit
+  digits and ONE exact tail (the v1 reduce_batch, which early-exits after
+  <= ~2 steps).
+
+nudupl is compose(F, F): the dedicated rotation-based nudupl formula can
+overflow (a3 = (c/g)^2 with c up to |Delta|/4a) for small-a forms, while
+composition keeps a1 * a2_rotated <= ~|Delta| always; squaring runs on the
+small doubling-chain batch so the extra xgcd is noise.
+
+Bit-exact vs core.qfi (reduction theory: the reduced representative is
+unique, so only final results must match).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limb as lb
+from . import rl
+from .forms import BForm, bform_select, reduce_batch, rotate_to_odd
+from .xgcd2 import xgcd_coeff_g
+
+
+@dataclass(frozen=True)
+class CGCtx:
+    """Static context for one discriminant: widths + shared constants."""
+
+    disc_bits: int
+    L: int           # form coefficient width (limbs)
+    Lh: int          # half width: reduced-form a/b values (~disc/2 bits)
+
+    @staticmethod
+    def widths_for_disc_bits(disc_bits: int):
+        L = (disc_bits + 16 * 6) // 16 + 1
+        L = ((L + 7) // 8) * 8
+        Lh = (disc_bits // 2 + 64) // 16 + 1
+        Lh = ((Lh + 7) // 8) * 8
+        return L, Lh
+
+
+class CG:
+    """Per-discriminant kernel family. Holds the device constants (delta/4,
+    the substitute form h) so the jitted functions close over numpy arrays
+    only (device-array closures can deadlock lowering on some backends)."""
+
+    def __init__(self, disc_bits: int, delta4_L2: np.ndarray, h_forms):
+        self.disc_bits = disc_bits
+        L, Lh = CGCtx.widths_for_disc_bits(disc_bits)
+        self.L = L
+        self.Lh = Lh
+        self.L2 = 2 * L
+        self.delta4 = np.asarray(delta4_L2)  # (2L,) magnitude of |Delta|/4
+        # substitute form for identity fast path: any fixed reduced
+        # non-identity form of the discriminant (h from the cryptosystem)
+        a, bs, b, c = h_forms
+        self.h_a = np.asarray(a)
+        self.h_bs = np.asarray(bs)
+        self.h_b = np.asarray(b)
+        self.h_c = np.asarray(c)
+        self.xgcd_nbits = disc_bits + 32
+        self.mu_iters = (2 * 16 * L) // 13 + 24
+        self.red_iters = (2 * disc_bits) // 13 + 96
+
+    # ------------------------------------------------------------ helpers
+    def _is_one(self, mag):
+        return (mag[..., 0] == 1) & (jnp.sum(mag, axis=-1) == 1)
+
+    def _h_bform(self):
+        return BForm(jnp.asarray(self.h_a), jnp.asarray(self.h_bs),
+                     jnp.asarray(self.h_b), jnp.asarray(self.h_c))
+
+    # ------------------------------------------------------------- reduce
+    def reduce2(self, a_red, b_red, c_red):
+        """Estimate-driven rho-descent; returns a reduced canonical BForm.
+        a_red, c_red: positive redundant; b_red: signed redundant."""
+        L = a_red.shape[-1]
+
+        def ests(a, b, c):
+            ma, ta = rl.value_est(a)
+            mb, tb = rl.value_est(b)
+            mc, tc = rl.value_est(c)
+            bitsA = rl.bits_est(ma, ta)
+            bitsB = rl.bits_est(mb, tb)
+            bitsC = rl.bits_est(mc, tc)
+            need_norm = bitsB > bitsA + 0.25
+            # quotients above ~24 bits cannot be applied unshifted; those
+            # (rare: CF tail / inverse-pair composes) fall to the exact tail
+            freak = bitsB - bitsA > 25.0
+            need_rho = jnp.logical_not(need_norm) & (bitsC < bitsA - 0.25)
+            return (ma, ta, mb, tb), (need_norm & jnp.logical_not(freak)), need_rho
+
+        def cond(state):
+            a, b, c, w, it = state
+            return (it < self.red_iters) & jnp.any(w)
+
+        def body(state):
+            a, b, c, _w, it = state
+            (ma, ta, mb, tb), need_norm, need_rho = ests(a, b, c)
+            # rho where needed: (a, b, c) <- (c, -b, a); refresh a/b estimates
+            an = jnp.where(need_rho[..., None], c, a)
+            cn = jnp.where(need_rho[..., None], a, c)
+            bn = jnp.where(need_rho[..., None], -b, b)
+            man, tan = rl.value_est(an)  # a changed for rho rows
+            mbn = jnp.where(need_rho, -mb, mb)
+            # digit q ~ b / 2a, UNSHIFTED (no limb gathers inside TPU while
+            # loops); |q| <= 2^27 per step, so rare huge CF quotients just
+            # take ceil(bits/18-27) extra iterations
+            ratio = mbn / jnp.maximum(2.0 * man, 1e-30)
+            scale = rl.pow2f(jnp.clip(16 * (tb - tan), -126, 29))
+            qd = jnp.clip(jnp.round(ratio * scale), -134217000.0,
+                          134217000.0).astype(jnp.int32)
+            active = need_norm | need_rho
+            qd = jnp.where(active, qd, 0)
+            # aq = q*a via 14+14 split ; b' = b - 2*aq ; t = aq - b ;
+            # c' = c + q*t
+            a14 = rl.carry2(an << 14)
+            s = jnp.sign(qd)
+            aq_ = jnp.abs(qd)
+            lo = (aq_ & 0x3FFF) * s
+            hi = (aq_ >> 14) * s
+            aq = rl.carry_pass(rl.carry_pass(lo[..., None] * an)
+                               + rl.carry_pass(hi[..., None] * a14))
+            b2 = rl.carry2(bn - 2 * aq)
+            t = rl.carry2(aq - bn)
+            t14 = rl.carry2(t << 14)
+            qt = rl.carry_pass(lo[..., None] * t) + rl.carry_pass(hi[..., None] * t14)
+            c2 = rl.carry2(cn + qt)
+            _, need_norm2, need_rho2 = ests(an, b2, c2)
+            return an, b2, c2, need_norm2 | need_rho2, it + 1
+
+        a0 = rl.carry2(a_red)
+        b0 = rl.carry2(b_red)
+        c0 = rl.carry2(c_red)
+        _, w0, r0 = ests(a0, b0, c0)
+        a, b, c, _, _ = jax.lax.while_loop(
+            cond, body, (a0, b0, c0, w0 | r0, jnp.int32(0)))
+
+        _, am = lb.canonicalize_fast(a)
+        sb, bm = lb.canonicalize_fast(b)
+        _, cm = lb.canonicalize_fast(c)
+        # exact tail: <= ~2 steps for est-loop leftovers; also finishes the
+        # rare huge-quotient elements the est loop cannot handle (early
+        # exits to ~zero work when everything is already reduced)
+        return reduce_batch(BForm(am, sb, bm, cm), self.disc_bits // 4 + 64)
+
+    # ------------------------------------------------------------ compose
+    def compose2(self, F1: BForm, F2: BForm) -> BForm:
+        L, Lh, L2 = self.L, self.Lh, self.L2
+        delta4 = jnp.asarray(self.delta4)
+
+        # identity fast path
+        id1 = self._is_one(F1.a)
+        id2 = self._is_one(F2.a)
+        some_id = id1 | id2
+        h = self._h_bform()
+        hb = BForm(jnp.broadcast_to(h.a, F1.a.shape),
+                   jnp.broadcast_to(h.b_sign, F1.b_sign.shape),
+                   jnp.broadcast_to(h.b, F1.b.shape),
+                   jnp.broadcast_to(h.c, F1.c.shape))
+        F1b = bform_select(some_id, hb, F1)
+        F2b = bform_select(some_id, hb, F2)
+
+        # order so a1 <= a2, rotate F2 odd (then a1 * a2_rot <= ~|Delta|)
+        swap = lb.mag_cmp(F1b.a, F2b.a) > 0
+        F1n = bform_select(swap, F2b, F1b)
+        F2n = bform_select(swap, F1b, F2b)
+        F2n = rotate_to_odd(F2n)
+        a1, b1s, b1m, c1 = F1n
+        a2, b2s, b2m, c2 = F2n
+
+        # s = (b1 + b2)/2 ; dd = b2 - b1   (b's of reduced forms: <= Lh)
+        b1h = lb.resize(b1m, Lh)
+        b2h = lb.resize(b2m, Lh)
+        ss, sm = lb.sm_add((b1s, b1h), (b2s, b2h))
+        sm = lb.mag_shr_bits(sm, 1)
+        dds, ddm = lb.sm_sub((b2s, b2h), (b1s, b1h))
+
+        # xgcd 1: d1 = gcd(a2, a1), beta = a1-coefficient mod a2
+        d1, beta = xgcd_coeff_g(a2, a1, a2, self.xgcd_nbits)
+
+        # ---- second gcd block: g = gcd(d1, |s|), eta0 in [0, d1) with
+        # eta0 * |s| ≡ g (mod d1)
+        fits8 = lb.mag_bitlen(d1) <= 120
+        one8 = jnp.zeros_like(d1[..., :8]).at[..., 0].set(1)
+        d1_8 = jnp.where(fits8[..., None], d1[..., :8], one8)
+        dinv8 = lb.modinv16(d1_8[..., 0])
+        d1_8L = lb.resize(d1_8, Lh)
+        _, d1_8L8 = lb.canonicalize_fast(d1_8L << 8)
+        rp = rl.redc_pow16(lb.resize(sm, Lh), d1_8L, d1_8L8, dinv8,
+                           steps=Lh, active=fits8)
+        _, rp_m = lb.canonicalize_fast(rp)
+        ge = lb.mag_cmp(rp_m, d1_8L) >= 0
+        _, rp_m = lb.canonicalize_fast(rp_m - jnp.where(ge[..., None], d1_8L, 0))
+        g8, eta8 = xgcd_coeff_g(d1_8, rp_m[..., :8], d1_8, 136)
+        # un-Montgomery: eta0 = eta8 * 2^(-16*Lh) ... wait, rp carries
+        # 2^(-16*Lh): eta8 * rp ≡ g  =>  (eta8 * 2^(-16*Lh)) * s ≡ g; so the
+        # SAME scale removal applies to eta8.
+        _, e8_8 = lb.canonicalize_fast(d1_8 << 8)
+        eta0_8 = rl.redc_pow16(eta8, d1_8, e8_8, dinv8, steps=Lh, active=fits8)
+        _, eta0_8 = lb.canonicalize_fast(eta0_8)
+        ge = lb.mag_cmp(eta0_8, d1_8) >= 0
+        _, eta0_8 = lb.canonicalize_fast(eta0_8 - jnp.where(ge[..., None], d1_8, 0))
+
+        # rare path: d1 >= 2^120 — same pipeline at width Lh; all loops
+        # early-exit when no element needs it
+        rare = jnp.logical_not(fits8) & jnp.logical_not(some_id)
+        d1h = lb.resize(d1, Lh)  # d1 <= a1 fits Lh
+        d1h = jnp.where(rare[..., None], d1h, lb.resize(one8, Lh))
+        dinvF = lb.modinv16(d1h[..., 0])
+        _, d1h8 = lb.canonicalize_fast(d1h << 8)
+        rpF = rl.redc_pow16(lb.resize(sm, Lh), d1h, d1h8, dinvF,
+                            steps=Lh, active=rare)
+        _, rpF_m = lb.canonicalize_fast(rpF)
+        geF = lb.mag_cmp(rpF_m, d1h) >= 0
+        _, rpF_m = lb.canonicalize_fast(rpF_m - jnp.where(geF[..., None], d1h, 0))
+        gF, etaF = xgcd_coeff_g(d1h, jnp.where(rare[..., None], rpF_m, 0),
+                                d1h, 16 * Lh)
+        eta0F = rl.redc_pow16(etaF, d1h, d1h8, dinvF, steps=Lh, active=rare)
+        _, eta0F = lb.canonicalize_fast(eta0F)
+        geF = lb.mag_cmp(eta0F, d1h) >= 0
+        _, eta0F = lb.canonicalize_fast(eta0F - jnp.where(geF[..., None], d1h, 0))
+
+        g = jnp.where(fits8[..., None], lb.resize(g8, Lh), lb.resize(gF, Lh))
+        eta0 = jnp.where(fits8[..., None], lb.resize(eta0_8, Lh), eta0F)
+
+        # xi = (g - eta0*|s|) / d1 exactly (integer identity); |xi| <= |s|
+        prod_es = lb.mag_mul(eta0, sm, L)            # eta0 * |s|
+        ts, tm = lb.sm_sub((jnp.ones_like(ss), lb.resize(g, L)),
+                           (jnp.ones_like(ss), prod_es))
+        xi = lb.mag_divexact_odd(tm, d1, Lh)         # magnitude of xi
+        xi_s = ts
+
+        # u = xi * beta ; mu_num = u*(b2-b1) - 2*sign(s)*eta0*c1
+        u = lb.mag_mul(xi, beta, L + Lh)
+        t1 = lb.mag_mul(u, ddm, L2)                  # |u*(b2-b1)|
+        t1_sign = xi_s * dds
+        t2 = lb.mag_mul(eta0, c1, L + Lh)            # eta0 * c1
+        mu_red = (t1_sign[..., None] * t1
+                  - 2 * (ss[..., None] * lb.resize(t2, L2)))
+
+        # m2 = a2/g, a1g = a1/g  (g odd: divides odd a2 via d1)
+        m2 = lb.mag_divexact_odd(a2, g, L)
+        a1g = lb.mag_divexact_odd(a1, g, Lh)
+        m2x2 = lb.mag_shl_bits(m2, 1, L)
+
+        mu = rl.mod_topdown(mu_red, m2x2, max_iters=self.mu_iters)
+        mu = lb.resize(mu, L)
+
+        # a3 = a1g*m2 ; b3 = b1 + a1g*mu ; c3 = ((b3/2)^2 + |D|/4)/a3
+        a3 = lb.mag_mul(a1g, m2, L)
+        t = lb.mag_mul(a1g, mu, L)
+        b3s, b3m = lb.sm_add((b1s, b1m), (jnp.ones_like(b1s), t))
+        b3h = lb.mag_shr_bits(b3m, 1)
+        sq = lb.mag_mul(b3h, b3h, L2)
+        csum = lb.resize(sq, L2) + lb.resize(delta4, L2)
+        _, csum = lb.canonicalize_fast(csum)
+        e = lb.mag_v2(a3)
+        a3_odd = lb.mag_shr_bits_dyn(a3, e)
+        csum_sh = lb.mag_shr_bits_dyn(csum, jnp.minimum(e, jnp.int32(16 * L2 - 1)))
+        c3 = lb.mag_divexact_odd(csum_sh, lb.resize(a3_odd, L2), L)
+
+        out = self.reduce2(a3.astype(jnp.int32),
+                           (b3s[..., None] * b3m).astype(jnp.int32),
+                           c3.astype(jnp.int32))
+        # identity selects (both-id: F2 is the identity, so the first select
+        # already returns it)
+        out = bform_select(id2 & jnp.logical_not(id1), F1, out)
+        out = bform_select(id1, F2, out)
+        return out
+
+    def nudupl2(self, F: BForm) -> BForm:
+        return self.compose2(F, F)

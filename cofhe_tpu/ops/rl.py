@@ -147,44 +147,77 @@ def submul_shifted(x, qd, j, m, m14):
     return x - shl_limbs_take(p, j)
 
 
-def mod_topdown(x, m_mag, active=None, max_iters: int = 256, Lq_bits=None):
+def mod_topdown(x, m_mag, active=None, max_iters: int | None = None):
     """x mod m -> canonical magnitude in [0, m), for SIGNED redundant x and
     canonical m >= 1 (per element). active: bool mask — inactive elements
-    are passed through cheaply (their loop work is masked off and they do
-    not hold the early exit open).
+    are passed through cheaply and do not hold the early exit open.
 
-    Strategy: estimated 28-bit digits top-down while any active element is
-    est-larger than m, then an exact canonical tail (<= 2 fixes)."""
+    GATHER-FREE schoolbook: a shifted copy of m starts top-justified BY
+    VALUE (one take_along_axis outside the loop — per-row dynamic limb
+    shifts cost ~40 ms/iteration inside TPU while loops, but are cheap
+    outside) and walks DOWN one limb per iteration whenever its top sits
+    above x's top, so it tracks x's leading limb from above regardless of
+    the x/m ratio. Each iteration subtracts one estimated 16-bit digit
+    times the current shifted m. Ends with an exact canonical tail (<= 2
+    fixes)."""
     L = x.shape[-1]
+    Lm = m_mag.shape[-1]
+    assert Lm < L, (Lm, L)  # need >= 1 guard limb for m << 8
     m = lb.resize(m_mag, L)
-    _, m14 = lb.canonicalize_fast(m << 14)
     mant_m, top_m = value_est(m)
     bits_m = bits_est(mant_m, top_m)
-
     if active is None:
         active = jnp.ones(x.shape[:-1], bool)
+
+    x0 = carry2(x)
+    _, top_x0 = value_est(x0)
+    # per-element: align m's VALUE top just above x's top (clamped so m<<8
+    # shifted keeps its top <= L-1)
+    wleft0 = jnp.clip(top_x0 + 1 - top_m, 0, L - 2 - top_m).astype(jnp.int32)
+    _, m8 = lb.canonicalize_fast(m << 8)
+    msh0 = shl_limbs_take(m, wleft0)
+    m8sh0 = shl_limbs_take(m8, wleft0)
+    if max_iters is None:
+        max_iters = 2 * L + 80
 
     def need_work(xc):
         mant_x, top_x = value_est(xc)
         w = active & (bits_est(mant_x, top_x) > bits_m - 0.75)
         return w, mant_x, top_x
 
+    def shift_down(v):
+        return jnp.concatenate([v[..., 1:], jnp.zeros_like(v[..., :1])], axis=-1)
+
     def cond(state):
-        _xc, w, _mx, _tx, it = state
+        w = state[4]
+        it = state[-1]
         return (it < max_iters) & jnp.any(w)
 
     def body(state):
-        xc, w, mant_x, top_x, it = state
-        qd, j = digit_est(mant_x, top_x, mant_m, top_m)
+        xc, msh, m8sh, wleft, w, mant_x, top_x, it = state
+        mant_s, top_s = value_est(msh)
+        ratio = mant_x / jnp.maximum(mant_s, 1e-30)
+        scale = pow2f(jnp.clip(16 * (top_x - top_s), -126, 18))
+        qd = jnp.clip(jnp.round(ratio * scale), -65535.0, 65535.0).astype(jnp.int32)
         qd = jnp.where(w, qd, 0)
-        xn = carry2(submul_shifted(xc, qd, j, m, m14))
+        s = jnp.sign(qd)
+        a = jnp.abs(qd)
+        lo = (a & 0xFF) * s
+        hi = (a >> 8) * s
+        xn = carry2(xc - lo[..., None] * msh - hi[..., None] * m8sh)
         wn, mxn, txn = need_work(xn)
-        return xn, wn, mxn, txn, it + 1
+        # one digit per position: walk down each iteration until back at m,
+        # stalling only when x's top still pokes above msh (huge-ratio
+        # start or estimate overshoot) so 16-bit digits can eat it down
+        do_shift = (wleft > 0) & (txn <= top_s)
+        msh = jnp.where(do_shift[..., None], shift_down(msh), msh)
+        m8sh = jnp.where(do_shift[..., None], shift_down(m8sh), m8sh)
+        wleft = wleft - do_shift.astype(jnp.int32)
+        return xn, msh, m8sh, wleft, wn, mxn, txn, it + 1
 
-    x0 = carry2(x)
     w0, mx0, tx0 = need_work(x0)
-    xf, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (x0, w0, mx0, tx0, jnp.int32(0)))
+    xf, _, _, _, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, msh0, m8sh0, wleft0, w0, mx0, tx0, jnp.int32(0)))
 
     # exact tail: |xf| <~ 1.7 m; canonicalize, then fold sign / subtract
     s, mag = lb.canonicalize_fast(xf)
