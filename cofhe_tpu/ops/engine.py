@@ -2,20 +2,25 @@
 
 Maps the reference's OpenMP-parallel per-element loops
 (cpu_cryptosystem_vector_ops.inl / cpu_cryptosystem_tensor_ops.inl) onto
-batched JAX kernels over limb arrays:
+batched JAX kernels over limb arrays — v2: everything routes through the
+redundant-limb compose kernels (ops/forms2.py) and the signed-digit Yao
+ladder (ops/nupow2.py):
 
   * add_batch      — one batched composition over the stacked (c1, c2) pairs
                      (2N forms in a single kernel).
-  * scal_batch     — batched ladder exponentiation with per-element k-bit
-                     exponents (2N forms, exponents duplicated for c1/c2).
-  * part_decrypt / decrypt — shared-exponent ladder (the exponent is the
-                     host-known share/secret key), then a host-side
+  * scal_batch     — Yao ladder with per-element host-recoded digits.
+  * part_decrypt / decrypt — shared-exponent wNAF ladder (the exponent is
+                     the host-known share/secret key), then a host-side
                      closed-form dlog for decrypt.
-  * scal_matmul    — ct (n,m) x pt (m,p): batched nupow over all n*m*p
-                     products, then a log2(m) pairwise-composition tree over
-                     the contraction axis, seeded with the fresh Enc(0) the
-                     reference also adds (cpu_cryptosystem_tensor_ops.inl:
-                     352-356).
+  * scal_matmul    — ct (n,m) x pt (m,p) as ONE fused jit: Yao ladder with
+                     the doubling chain shared across the p exponents of
+                     each cell (the TPU form of the reference's
+                     cross-exponent doubling cache, qfi.inl:28-62), a
+                     masked fixed-shape contraction tree over m (single
+                     compose instance run log2(m) times by lax.scan), and
+                     the fresh Enc(0) seed the reference also adds
+                     (cpu_cryptosystem_tensor_ops.inl:352-356). No host
+                     round-trips between stages.
 
 Batch shapes are bucketed to powers of two (pad with identity forms) to
 bound recompilation. Results are bit-exact with the host path.
@@ -33,9 +38,12 @@ import numpy as np
 from ..core.cl_hsm2k import CipherText, CLHSM2k
 from ..core.qfi import Form
 from . import limb as lb
-from .forms import BForm, FormSpec, bform_from_forms, bform_to_forms, compose_batch
-from .nupow import (identity_bform, nupow_batch, nupow_shared,
-                    nupow_shared_wnaf)
+from .forms import BForm, bform_from_forms, bform_to_forms
+from .forms2 import CG, CGCtx
+from .nupow2 import (identity_bform2, nupow_shared_wnaf2, nupow_yao2,
+                     nwind_for_bits, signed_windows, wnaf_digits)
+
+YAO_W = 4  # signed-digit window for per-element exponents
 
 
 def _bucket(n: int) -> int:
@@ -46,17 +54,21 @@ class JaxEngine:
     def __init__(self, hsm2k: CLHSM2k, platform: str | None = None):
         self.hsm = hsm2k
         disc_bits = (-hsm2k.Delta).bit_length()
-        self.spec = FormSpec.for_disc_bits(disc_bits)
-        L2 = 2 * self.spec.L
-        # numpy (not device) constant: closure-captured device arrays can
+        L, _ = CGCtx.widths_for_disc_bits(disc_bits)
+        self.L = L
+        # numpy (not device) constants: closure-captured device arrays can
         # deadlock during lowering (observed on jax 0.9 cpu)
-        self.delta4 = lb.ints_to_limbs([(-hsm2k.Delta) // 4], L2)[0]
+        delta4 = lb.ints_to_limbs([(-hsm2k.Delta) // 4], 2 * L)[0]
+        h_bf = bform_from_forms([hsm2k.h], L)
+        self.cg = CG(disc_bits, delta4,
+                     (np.asarray(h_bf.a[0]), np.asarray(h_bf.b_sign[0]),
+                      np.asarray(h_bf.b[0]), np.asarray(h_bf.c[0])))
         self._identity_form = hsm2k.identity
 
     # ------------------------------------------------------------- transport
     def _forms_to_bform(self, forms, batch: int) -> BForm:
         padded = list(forms) + [self._identity_form] * (batch - len(forms))
-        return bform_from_forms(padded, self.spec.L)
+        return bform_from_forms(padded, self.L)
 
     def _cts_to_bform(self, cts) -> tuple[BForm, int, int]:
         """Stack [c1s..., c2s...] into one padded BForm batch."""
@@ -69,70 +81,152 @@ class JaxEngine:
         out = bform_to_forms(bf)
         return [CipherText(out[i], out[n + i]) for i in range(n)]
 
+    def _digits_for(self, scalars, rows: int, nwind: int,
+                    row_map) -> np.ndarray:
+        """(nwind, rows) signed digit array; row_map[r] indexes scalars (or
+        -1 for identity-pad rows, digit 0)."""
+        recoded = np.zeros((len(scalars), nwind), dtype=np.int32)
+        for i, s in enumerate(scalars):
+            recoded[i] = signed_windows(int(s), YAO_W, nwind)
+        out = np.zeros((rows, nwind), dtype=np.int32)
+        live = row_map >= 0
+        out[live] = recoded[row_map[live]]
+        return np.ascontiguousarray(out.T)
+
     # --------------------------------------------------------------- kernels
     @functools.lru_cache(maxsize=32)
     def _add_kernel(self, batch: int):
-        spec, d4 = self.spec, self.delta4
-
-        @jax.jit
-        def k(F1, F2):
-            return compose_batch(F1, F2, spec, d4)
-
-        return k
+        return jax.jit(self.cg.compose2)
 
     @functools.lru_cache(maxsize=32)
-    def _scal_kernel(self, batch: int, exp_bits: int):
-        spec, d4 = self.spec, self.delta4
+    def _scal_kernel(self, batch: int, nwind: int):
+        cg = self.cg
 
         @jax.jit
-        def k(base, exps):
-            return nupow_batch(base, exps, spec, d4, exp_bits)
-
-        return k
-
-    @functools.lru_cache(maxsize=32)
-    def _matmul_pow_kernel(self, n: int, m: int, p: int):
-        """Batched nupow for the (n,m)x(m,p) matmul with the doubling chain
-        shared across the p exponents of each ciphertext cell (the TPU form
-        of the reference's cross-exponent doubling cache, qfi.inl:28-62)."""
-        spec, d4 = self.spec, self.delta4
-        exp_bits = self.hsm.k
-        nmp = n * m * p
-        half_b = _bucket(n * m)
-        half_e = _bucket(nmp)
-        base_map = np.zeros(2 * half_e, dtype=np.int32)
-        for i in range(n):
-            for j in range(m):
-                for kk in range(p):
-                    flat = (i * m + j) * p + kk
-                    base_map[flat] = i * m + j
-                    base_map[half_e + flat] = half_b + i * m + j
-        base_map[nmp:half_e] = 0
-        base_map[half_e + nmp:] = 0
-
-        @jax.jit
-        def k(base, exps):
-            return nupow_batch(base, exps, spec, d4, exp_bits, base_map=base_map)
-
-        return k, half_b, half_e
-
-    @functools.lru_cache(maxsize=32)
-    def _shared_pow_kernel(self, batch: int, nbits: int):
-        spec, d4 = self.spec, self.delta4
-
-        @jax.jit
-        def k(base, bits):
-            return nupow_shared(base, bits, spec, d4)
+        def k(base, digits):
+            return nupow_yao2(cg, base, digits, w=YAO_W)
 
         return k
 
     @functools.lru_cache(maxsize=32)
     def _shared_wnaf_kernel(self, batch: int, sched_len: int, w: int):
-        spec, d4 = self.spec, self.delta4
+        cg = self.cg
 
         @jax.jit
         def k(base, sched):
-            return nupow_shared_wnaf(base, sched, spec, d4, w=w)
+            return nupow_shared_wnaf2(cg, base, sched, w=w)
+
+        return k
+
+    @functools.lru_cache(maxsize=32)
+    def _matmul_kernel(self, n: int, m: int, p: int, nwind: int):
+        """One fused jit for the whole (n,m)x(m,p) matmul. Layouts:
+        cells (2*n*m): [c1 of cell(i,j)..., c2...]; exponent rows
+        (2*n*m*p): flat (half, i, j, k); zero (2*n*p): [c1..., c2...]."""
+        cg = self.cg
+        nmp = n * m * p
+        B = 2 * nmp
+        base_map = np.zeros(B, dtype=np.int32)
+        for h in range(2):
+            for i in range(n):
+                for j in range(m):
+                    base_map[(h * n * m + i * m + j) * p:
+                             (h * n * m + i * m + j + 1) * p] = h * n * m + i * m + j
+        m_pad = _bucket(m)
+        levels = max(1, int(math.log2(m_pad)))
+        mh = max(1, m_pad // 2)
+        # per-level pair-gather indices into the (mh,)-axis state + validity
+        gA = np.zeros((max(0, levels - 1), mh), dtype=np.int32)
+        gB = np.zeros((max(0, levels - 1), mh), dtype=np.int32)
+        valid = np.zeros((max(0, levels - 1), mh), dtype=bool)
+        c = mh
+        for l in range(levels - 1):
+            for i in range(mh):
+                if 2 * i + 1 < c:
+                    gA[l, i], gB[l, i], valid[l, i] = 2 * i, 2 * i + 1, True
+            c //= 2
+
+        @jax.jit
+        def k(bf_cells, digits, bf_zero):
+            powed = nupow_yao2(cg, bf_cells, digits, base_map=base_map,
+                               w=YAO_W)
+            # view (2n, m, p); pad m -> m_pad with identities
+            def view(x):
+                y = x.reshape((2 * n, m, p) + x.shape[1:])
+                if m_pad > m:
+                    pad = [(0, 0)] * y.ndim
+                    pad[1] = (0, m_pad - m)
+                    y = jnp.pad(y, pad)
+                return y
+
+            pw = BForm(view(powed.a), view(powed.b_sign), view(powed.b),
+                       view(powed.c))
+            if m_pad > m:  # identity pads need a == 1, c == delta4
+                ident = identity_bform2(cg, 1)
+                padm = (jnp.arange(m_pad) >= m)[None, :, None]
+                pw = BForm(jnp.where(padm[..., None], ident.a[0], pw.a),
+                           jnp.where(padm, 0, pw.b_sign),
+                           pw.b,
+                           jnp.where(padm[..., None], ident.c[0], pw.c))
+
+            def flat(bf, mc):
+                return BForm(bf.a.reshape(2 * n * mc * p, -1),
+                             bf.b_sign.reshape(2 * n * mc * p),
+                             bf.b.reshape(2 * n * mc * p, -1),
+                             bf.c.reshape(2 * n * mc * p, -1))
+
+            def unflat(bf, mc):
+                return BForm(bf.a.reshape(2 * n, mc, p, -1),
+                             bf.b_sign.reshape(2 * n, mc, p),
+                             bf.b.reshape(2 * n, mc, p, -1),
+                             bf.c.reshape(2 * n, mc, p, -1))
+
+            if m_pad == 1:
+                acc = flat(pw, 1)
+            else:
+                # level 0: adjacent pairs of the m_pad inputs -> mh
+                A = BForm(pw.a[:, 0::2], pw.b_sign[:, 0::2], pw.b[:, 0::2],
+                          pw.c[:, 0::2])
+                Bv = BForm(pw.a[:, 1::2], pw.b_sign[:, 1::2], pw.b[:, 1::2],
+                           pw.c[:, 1::2])
+                cur = cg.compose2(flat(A, mh), flat(Bv, mh))
+
+                if levels > 1:
+                    identf = identity_bform2(cg, 2 * n * mh * p)
+
+                    def lvl(curf, xs):
+                        ga, gb, vl = xs
+                        bf = unflat(curf, mh)
+                        A = BForm(jnp.take(bf.a, ga, axis=1),
+                                  jnp.take(bf.b_sign, ga, axis=1),
+                                  jnp.take(bf.b, ga, axis=1),
+                                  jnp.take(bf.c, ga, axis=1))
+                        Bv = BForm(jnp.take(bf.a, gb, axis=1),
+                                   jnp.take(bf.b_sign, gb, axis=1),
+                                   jnp.take(bf.b, gb, axis=1),
+                                   jnp.take(bf.c, gb, axis=1))
+                        comp = cg.compose2(flat(A, mh), flat(Bv, mh))
+                        vmask = jnp.broadcast_to(vl[None, :, None],
+                                                 (2 * n, mh, p)).reshape(-1)
+                        out = BForm(jnp.where(vmask[:, None], comp.a, identf.a),
+                                    jnp.where(vmask, comp.b_sign,
+                                              identf.b_sign),
+                                    jnp.where(vmask[:, None], comp.b,
+                                              identf.b),
+                                    jnp.where(vmask[:, None], comp.c,
+                                              identf.c))
+                        return out, None
+
+                    cur, _ = jax.lax.scan(
+                        lvl, cur, (jnp.asarray(gA), jnp.asarray(gB),
+                                   jnp.asarray(valid)))
+                # result sits in slot 0 of the m-axis
+                accv = unflat(cur, mh)
+                acc = BForm(accv.a[:, 0].reshape(2 * n * p, -1),
+                            accv.b_sign[:, 0].reshape(2 * n * p),
+                            accv.b[:, 0].reshape(2 * n * p, -1),
+                            accv.c[:, 0].reshape(2 * n * p, -1))
+            return cg.compose2(acc, bf_zero)
 
         return k
 
@@ -146,24 +240,14 @@ class JaxEngine:
     def scal_batch(self, scalars, cts):
         n = len(cts)
         bf, _, batch = self._cts_to_bform(cts)
-        k_bits = self.hsm.k
-        Lk = (k_bits + lb.BASE_BITS - 1) // lb.BASE_BITS
+        nwind = nwind_for_bits(self.hsm.k, YAO_W)
         # layout from _cts_to_bform: [c1 x n, c2 x n, identity pad...]
-        e_l = lb.ints_to_limbs(list(scalars), Lk)
-        full = np.zeros((batch, Lk), dtype=np.int32)
-        full[:n] = e_l
-        full[n:2 * n] = e_l
-        out = self._scal_kernel(batch, k_bits)(bf, jnp.asarray(full))
+        row_map = np.full(batch, -1, dtype=np.int64)
+        row_map[:n] = np.arange(n)
+        row_map[n:2 * n] = np.arange(n)
+        digits = self._digits_for(list(scalars), batch, nwind, row_map)
+        out = self._scal_kernel(batch, nwind)(bf, jnp.asarray(digits))
         return self._bform_to_cts(jax.tree.map(np.asarray, out), n)
-
-    def _cts_to_bform_halves(self, cts):
-        """Like _cts_to_bform but pads each half separately so c1s occupy
-        [0, half) and c2s [half, 2*half)."""
-        n = len(cts)
-        half = _bucket(n)
-        forms = ([ct.c1 for ct in cts] + [self._identity_form] * (half - n)
-                 + [ct.c2 for ct in cts] + [self._identity_form] * (half - n))
-        return bform_from_forms(forms, self.spec.L), n, 2 * half
 
     def part_decrypt_batch(self, share: int, cts):
         """d_i = c1^share for every ct (shared exponent)."""
@@ -176,8 +260,6 @@ class JaxEngine:
         e = abs(share)
         # width-5 wNAF schedule, front-padded to a multiple of 64 so the
         # kernel caches by a coarse length bucket, not the exact exponent
-        from .nupow import wnaf_digits
-
         w = 5
         sched = wnaf_digits(e, w)
         sched = [0] * ((-len(sched)) % 64) + sched
@@ -206,72 +288,27 @@ class JaxEngine:
         return [self.hsm.dlog_in_F(f) for f in forms]
 
     def scal_matmul(self, s_tensor, ct_tensor, zero_ct: CipherText):
-        """ct (n,m) x s (m,p) -> (n,p); see module docstring."""
+        """ct (n,m) x s (m,p) -> (n,p); one fused jit (see module doc)."""
         from ..tensor import Tensor
 
         n, m = ct_tensor.shape
         m2, p = s_tensor.shape
-        k_bits = self.hsm.k
-        Lk = (k_bits + lb.BASE_BITS - 1) // lb.BASE_BITS
-        # base forms: one (c1, c2) pair per ciphertext CELL (n*m of each);
-        # the Yao kernel shares each cell's doubling chain across its p
-        # exponents via base_map.
-        kern, half_b, half = self._matmul_pow_kernel(n, m, p)
+        nwind = nwind_for_bits(self.hsm.k, YAO_W)
+        kern = self._matmul_kernel(n, m, p, nwind)
         cells = [ct_tensor.at(i, j) for i in range(n) for j in range(m)]
-        bf_base = bform_from_forms(
-            [ct.c1 for ct in cells] + [self._identity_form] * (half_b - n * m)
-            + [ct.c2 for ct in cells] + [self._identity_form] * (half_b - n * m),
-            self.spec.L)
-        exps = [int(s_tensor.at(j, kk))
-                for i in range(n) for j in range(m) for kk in range(p)]
-        nmp = n * m * p
-        exp_arr = np.zeros((2 * half, Lk), dtype=np.int32)
-        e_l = lb.ints_to_limbs(exps, Lk)
-        exp_arr[:nmp] = e_l
-        exp_arr[half:half + nmp] = e_l
-        powed = kern(bf_base, jnp.asarray(exp_arr))
-
-        # reduction over j (the m axis): reshape each half to (n, m, p) and
-        # pairwise-compose along m in log2 steps
-        m_pad = _bucket(m)
-        idx = np.full((2, n, m_pad, p), -1, dtype=np.int64)
-        for i in range(n):
-            for j in range(m):
-                for kk in range(p):
-                    flat = (i * m + j) * p + kk
-                    idx[0, i, j, kk] = flat
-                    idx[1, i, j, kk] = half + flat
-        # gather into (2*n*m_pad*p) order, identity padding where idx < 0
-        def gather(bfx, index):
-            flat_idx = np.where(index < 0, 0, index).reshape(-1)
-            mask = (index >= 0).reshape(-1)
-            sel = BForm(
-                jnp.asarray(np.asarray(bfx.a)[flat_idx]),
-                jnp.asarray(np.asarray(bfx.b_sign)[flat_idx]),
-                jnp.asarray(np.asarray(bfx.b)[flat_idx]),
-                jnp.asarray(np.asarray(bfx.c)[flat_idx]))
-            ident = identity_bform(self.spec, self.delta4, sel.a.shape[0])
-            from .forms import bform_select
-
-            return bform_select(jnp.asarray(mask), sel, ident)
-
-        cur = gather(jax.tree.map(np.asarray, powed), idx)  # (2*n*m_pad*p) forms
-        cur_m = m_pad
-        while cur_m > 1:
-            halfm = cur_m // 2
-            A = jax.tree.map(
-                lambda x: x.reshape(2 * n, cur_m, p, *x.shape[1:])[:, :halfm].reshape(
-                    2 * n * halfm * p, *x.shape[1:]), cur)
-            B = jax.tree.map(
-                lambda x: x.reshape(2 * n, cur_m, p, *x.shape[1:])[:, halfm:].reshape(
-                    2 * n * halfm * p, *x.shape[1:]), cur)
-            cur = self._add_kernel(2 * n * halfm * p)(BForm(*A), BForm(*B))
-            cur = jax.tree.map(jnp.asarray, cur)
-            cur_m = halfm
-        # cur: (2*n*p) accumulated sums; add Enc(0)
-        zeros_c1 = [zero_ct.c1] * (n * p) + [zero_ct.c2] * (n * p)
-        bf_zero = bform_from_forms(zeros_c1, self.spec.L)
-        final = self._add_kernel(2 * n * p)(BForm(*jax.tree.map(jnp.asarray, cur)), bf_zero)
+        bf_cells = bform_from_forms(
+            [ct.c1 for ct in cells] + [ct.c2 for ct in cells], self.L)
+        # exponent row (h, i, j, k) -> scalar s[j, k] (same for both halves)
+        scalars = [int(s_tensor.at(j, kk)) for j in range(m) for kk in range(p)]
+        row_map = np.zeros(2 * n * m * p, dtype=np.int64)
+        for h in range(2):
+            for i in range(n):
+                base = (h * n + i) * m * p
+                row_map[base:base + m * p] = np.arange(m * p)
+        digits = self._digits_for(scalars, 2 * n * m * p, nwind, row_map)
+        bf_zero = bform_from_forms(
+            [zero_ct.c1] * (n * p) + [zero_ct.c2] * (n * p), self.L)
+        final = kern(bf_cells, jnp.asarray(digits), bf_zero)
         forms = bform_to_forms(jax.tree.map(np.asarray, final))
         cts = [CipherText(forms[i], forms[n * p + i]) for i in range(n * p)]
         return Tensor(cts, (n, p))
