@@ -103,6 +103,22 @@ def main():
         f = bf1.a.at[..., 0].set(bf1.a[..., 0] | 1)
         bench("xgcd_mod(full)", kern, f, bf2.a, f)
 
+    if "compose2" in what or "nudupl2" in what:
+        from cofhe_tpu.ops.forms2 import CG, CGCtx
+
+        disc_bits = (-hsm.Delta).bit_length()
+        L, _ = CGCtx.widths_for_disc_bits(disc_bits)
+        d4 = lb.ints_to_limbs([(-hsm.Delta) // 4], 2 * L)[0]
+        h_bf = bform_from_forms([hsm.h], L)
+        cg = CG(disc_bits, d4, (np.asarray(h_bf.a[0]), np.asarray(h_bf.b_sign[0]),
+                                np.asarray(h_bf.b[0]), np.asarray(h_bf.c[0])))
+        b1 = bform_from_forms(forms1, L)
+        b2 = bform_from_forms(forms2, L)
+        if "compose2" in what:
+            bench("compose2", jax.jit(cg.compose2), b1, b2)
+        if "nudupl2" in what:
+            bench("nudupl2", jax.jit(cg.nudupl2), b1)
+
 
 if __name__ == "__main__":
     main()

@@ -62,6 +62,18 @@ class CryptoSystem:
             from .ops.engine import JaxEngine
 
             self._engine = JaxEngine(self.hsm2k, platform=None if device == "tpu" else "cpu")
+        elif device == "host":
+            # native GMP+OpenMP backend (reference cost model:
+            # openmp.hpp:4-11 loops over BICYCL nucomp/nupow); silently
+            # degrades to the pure-Python oracle when g++/libgmp are absent
+            try:
+                from .ops.hostgmp import GmpEngine
+
+                self._engine = GmpEngine(self.hsm2k)
+            except Exception:
+                self._engine = None
+        elif device == "host-python":
+            self._engine = None
 
     # ------------------------------------------------------------------ keys
     def keygen(self, *args):
