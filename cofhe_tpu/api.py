@@ -50,18 +50,30 @@ class CryptoSystem:
     """TPU-native CL_HSM2k cryptosystem with the reference's 57-op surface."""
 
     def __init__(self, security_level: int, k: int, compact: bool = False,
-                 device: str = "host", seed: bytes | None = None, p: int | None = None):
+                 device: str = "host", seed: bytes | None = None, p: int | None = None,
+                 mesh=None, rerandomize: str = "none"):
+        """rerandomize: fold a fresh Enc(0) into every homomorphic add/scal
+        result — "none" (reference default: the macros are compiled out),
+        "shared" (one Enc(0) per batched op, the
+        ADD_RANDOMNESS_IN_HOMOMORPHIC_OPERATIONS semantics), or "per_op"
+        (fresh randomness per element, DIFFERENT_RANDOMNESS_FOR_EACH_
+        OPERATION; reference cpu_cryptosystem_vector_ops.inl:1-2,65-92)."""
         self.hsm2k = CLHSM2k(security_level, k, compact_variant=compact, p=p)
         self.sec_level = security_level
         self.k = k
         self.codec = FixedPointCodec(k)
         self.rand_gen = RandGen(seed)
         self.device = device
+        if rerandomize not in ("none", "shared", "per_op"):
+            raise ValueError("rerandomize must be none|shared|per_op")
+        self.rerandomize = rerandomize
         self._engine = None
         if device in ("tpu", "jax", "cpu-jax"):
+            # backend selection is JAX-global (JAX_PLATFORMS / jax_platforms
+            # config); an optional device mesh shards the batched kernels
             from .ops.engine import JaxEngine
 
-            self._engine = JaxEngine(self.hsm2k, platform=None if device == "tpu" else "cpu")
+            self._engine = JaxEngine(self.hsm2k, mesh=mesh)
         elif device == "host":
             # native GMP+OpenMP backend (reference cost model:
             # openmp.hpp:4-11 loops over BICYCL nucomp/nupow); silently
@@ -100,12 +112,28 @@ class CryptoSystem:
         return self.hsm2k.final_decrypt(ct, list(pdrs))
 
     def add_ciphertexts(self, pk: Form, ct1: CipherText, ct2: CipherText) -> CipherText:
-        return self.hsm2k.add_ciphertexts(ct1, ct2)
+        return self._rerand(pk, [self.hsm2k.add_ciphertexts(ct1, ct2)])[0]
 
     def scal_ciphertext(self, pk: Form, s: int, ct: CipherText) -> CipherText:
         if s < 0:
             raise ValueError("plaintext scalar must be non-negative")
-        return self.hsm2k.scal_ciphertext(ct, s)
+        return self._rerand(pk, [self.hsm2k.scal_ciphertext(ct, s)])[0]
+
+    def _rerand(self, pk, cts: list) -> list:
+        """Optional Enc(0) folding after homomorphic ops (reference
+        ADD_RANDOMNESS_IN_HOMOMORPHIC_OPERATIONS /
+        DIFFERENT_RANDOMNESS_FOR_EACH_OPERATION macros,
+        cpu_cryptosystem_vector_ops.inl:1-2,65-92)."""
+        if self.rerandomize == "none" or pk is None:
+            return cts
+        if self.rerandomize == "shared":
+            z = self.hsm2k.encrypt(pk, 0, self.rand_gen)
+            zeros = [z] * len(cts)
+        else:  # per_op: fresh randomness per element
+            zeros = [self.hsm2k.encrypt(pk, 0, self.rand_gen) for _ in cts]
+        if self._engine is not None:
+            return self._engine.add_batch(cts, zeros)
+        return [self.hsm2k.add_ciphertexts(a, b) for a, b in zip(cts, zeros)]
 
     def negate_ciphertext(self, pk: Form, ct: CipherText) -> CipherText:
         # reference scales by make_plaintext(-1) = 2^k - 1, i.e. a full k-bit
@@ -163,8 +191,10 @@ class CryptoSystem:
         if len(ct1) != len(ct2):
             raise ValueError("vector sizes must be equal")
         if self._engine is not None:
-            return self._engine.add_batch(list(ct1), list(ct2))
-        return [self.hsm2k.add_ciphertexts(a, b) for a, b in zip(ct1, ct2)]
+            out = self._engine.add_batch(list(ct1), list(ct2))
+        else:
+            out = [self.hsm2k.add_ciphertexts(a, b) for a, b in zip(ct1, ct2)]
+        return self._rerand(pk, out)
 
     def scal_ciphertext_vector(self, pk, s, cts) -> list[CipherText]:
         if isinstance(s, (list, tuple)):
@@ -176,8 +206,10 @@ class CryptoSystem:
         if any(x < 0 for x in scalars):
             raise ValueError("plaintext scalar must be non-negative")
         if self._engine is not None:
-            return self._engine.scal_batch(scalars, list(cts))
-        return [self.hsm2k.scal_ciphertext(ct, x) for x, ct in zip(scalars, cts)]
+            out = self._engine.scal_batch(scalars, list(cts))
+        else:
+            out = [self.hsm2k.scal_ciphertext(ct, x) for x, ct in zip(scalars, cts)]
+        return self._rerand(pk, out)
 
     # --------------------------------------------------------------- tensors
     def encrypt_tensor(self, pk: Form, pt: Tensor) -> Tensor:
@@ -259,10 +291,17 @@ class CryptoSystem:
     # ----------------------------------------------------------- primitives
     def _encrypt_batch(self, pk: Form, pts: list[int]) -> list[CipherText]:
         """Shared-randomness batch encryption (reference encrypt_vector,
-        cpu_cryptosystem_vector_ops.inl:4-18): one r per batch."""
+        cpu_cryptosystem_vector_ops.inl:4-18): one r per batch; the
+        per-element c2 = pk^r * f^m composes run batched on the engine."""
         r = self.rand_gen.random_mpz(self.hsm2k.encrypt_randomness_bound())
         c1 = self.hsm2k.power_of_h(r)
         pkr = nupow(pk, r)
+        min_batch = getattr(self._engine, "min_batch_encrypt", 2)
+        if self._engine is not None and len(pts) >= min_batch and \
+                hasattr(self._engine, "compose_forms_batch"):
+            fms = [self.hsm2k.power_of_f(pt % self.hsm2k.M) for pt in pts]
+            c2s = self._engine.compose_forms_batch([pkr] * len(pts), fms)
+            return [CipherText(c1, c2) for c2 in c2s]
         return [self.hsm2k.encrypt_with_parts(pt % self.hsm2k.M, c1, pkr) for pt in pts]
 
     # --------------------------------------------------------- serialization

@@ -128,7 +128,18 @@ class CLHSM2k:
     def __init__(self, security_level: int, k: int, compact_variant: bool = False,
                  p: int | None = None, distance: int = DEFAULT_STAT_DISTANCE):
         if compact_variant:
-            raise NotImplementedError("compact variant not supported (reference default is non-compact)")
+            # Documented refusal: the compact variant keeps h (and pk/c1
+            # intermediates) in the smaller group Cl(DeltaK) and lifts via
+            # from_Cl_DeltaK_to_Cl_Delta on use (reference call sites
+            # cpu_cryptosystem_vector_ops.inl:11-13). The reference itself
+            # never constructs one (every factory path passes the default,
+            # cofhe.hpp:96-121), so only bandwidth parity is lost. The lift
+            # map exists here (core/qfi.py::lift_form); wiring a DeltaK
+            # generator derivation is future work.
+            raise NotImplementedError(
+                "compact variant not supported: h/pk in Cl(DeltaK) with "
+                "on-use lifting is unimplemented; the reference never "
+                "instantiates it (cofhe.hpp:96-121 always passes default)")
         self.security_level = security_level
         self.k = k
         self._compact = False

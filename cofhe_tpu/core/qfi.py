@@ -180,9 +180,7 @@ def nupow(f: Form, n: int) -> Form:
             for _ in range(width):
                 r = nudupl(r)
             r = compose(r, tab[digit >> 1])
-        for _ in range(lo - max(j - w + 1, 0)):
-            pass  # trailing zeros inside the window are deferred to next iters
-        j = lo - 1
+        j = lo - 1  # trailing zeros below the window fall to later iterations
     return r
 
 

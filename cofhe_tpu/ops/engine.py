@@ -51,8 +51,16 @@ def _bucket(n: int) -> int:
 
 
 class JaxEngine:
-    def __init__(self, hsm2k: CLHSM2k, platform: str | None = None):
+    """Batched TPU engine. With `mesh`, kernels shard their batch axis over
+    every mesh device (PartitionSpec ("dp","tp")): the matmul's ladder,
+    bank updates and m-contraction tree are all elementwise along the row
+    axis once rows are blocked by ciphertext row i, so dp sharding runs
+    zero-collective — the TPU form of the reference's OpenMP element loops
+    (openmp.hpp:4-11) scaled across chips instead of cores."""
+
+    def __init__(self, hsm2k: CLHSM2k, mesh=None):
         self.hsm = hsm2k
+        self.mesh = mesh
         disc_bits = (-hsm2k.Delta).bit_length()
         L, _ = CGCtx.widths_for_disc_bits(disc_bits)
         self.L = L
@@ -94,19 +102,57 @@ class JaxEngine:
         return np.ascontiguousarray(out.T)
 
     # --------------------------------------------------------------- kernels
+    def _row_sharding(self):
+        """NamedSharding splitting a leading batch axis over all mesh
+        devices, or None when no mesh is attached."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+
+    def _jit_rows(self, fn, n_bform_args: int, extra_specs=()):
+        """jit `fn` whose first n_bform_args are row-major BForms (leading
+        batch axis) sharded over the mesh; extra_specs gives PartitionSpecs
+        for the remaining args. Falls back to plain jit without a mesh."""
+        sh = self._row_sharding()
+        if sh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding
+
+        bform_sh = BForm(sh, sh, sh, sh)
+        in_sh = tuple([bform_sh] * n_bform_args) + tuple(
+            NamedSharding(self.mesh, s) for s in extra_specs)
+        return jax.jit(fn, in_shardings=in_sh, out_shardings=bform_sh)
+
+    def _rows_divisible(self, *ns: int) -> bool:
+        if self.mesh is None:
+            return False
+        d = self.mesh.devices.size
+        return all(n % d == 0 for n in ns)
+
     @functools.lru_cache(maxsize=32)
     def _add_kernel(self, batch: int):
+        if self._rows_divisible(batch):
+            return self._jit_rows(self.cg.compose2, 2)
         return jax.jit(self.cg.compose2)
 
     @functools.lru_cache(maxsize=32)
     def _scal_kernel(self, batch: int, nwind: int):
         cg = self.cg
 
-        @jax.jit
         def k(base, digits):
             return nupow_yao2(cg, base, digits, w=YAO_W)
 
-        return k
+        if self._rows_divisible(batch):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = self._row_sharding()
+            bsh = BForm(sh, sh, sh, sh)
+            dsh = NamedSharding(self.mesh,
+                                P(None, tuple(self.mesh.axis_names)))
+            return jax.jit(k, in_shardings=(bsh, dsh), out_shardings=bsh)
+        return jax.jit(k)
 
     @functools.lru_cache(maxsize=32)
     def _shared_wnaf_kernel(self, batch: int, sched_len: int, w: int):
@@ -146,7 +192,6 @@ class JaxEngine:
                     gA[l, i], gB[l, i], valid[l, i] = 2 * i, 2 * i + 1, True
             c //= 2
 
-        @jax.jit
         def k(bf_cells, digits, bf_zero):
             powed = nupow_yao2(cg, bf_cells, digits, base_map=base_map,
                                w=YAO_W)
@@ -228,9 +273,33 @@ class JaxEngine:
                             accv.c[:, 0].reshape(2 * n * p, -1))
             return cg.compose2(acc, bf_zero)
 
-        return k
+        # dp-shard every row axis over the mesh (2n | dp makes it
+        # zero-collective; other splits are still correct via GSPMD)
+        if self._rows_divisible(2 * n * m, 2 * n * m * p, 2 * n * p):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = self._row_sharding()
+            bsh = BForm(sh, sh, sh, sh)
+            dsh = NamedSharding(self.mesh,
+                                P(None, tuple(self.mesh.axis_names)))
+            return jax.jit(k, in_shardings=(bsh, dsh, bsh),
+                           out_shardings=bsh)
+        return jax.jit(k)
+
+    # batched encrypt only pays off once the compose compile amortizes
+    min_batch_encrypt = 64
 
     # ------------------------------------------------------------------- ops
+    def compose_forms_batch(self, forms1, forms2):
+        """Elementwise class-group composition over raw forms (batched
+        encrypt / combine paths)."""
+        n = len(forms1)
+        batch = _bucket(n)
+        bf1 = self._forms_to_bform(forms1, batch)
+        bf2 = self._forms_to_bform(forms2, batch)
+        out = self._add_kernel(batch)(bf1, bf2)
+        return bform_to_forms(jax.tree.map(np.asarray, out))[:n]
+
     def add_batch(self, cts1, cts2):
         bf1, n, batch = self._cts_to_bform(cts1)
         bf2, _, _ = self._cts_to_bform(cts2)

@@ -157,6 +157,9 @@ class GmpEngine:
         self.hsm = hsm2k
         self.cg = GmpClassGroup(hsm2k.Delta)
 
+    def compose_forms_batch(self, forms1, forms2):
+        return self.cg.compose_batch(forms1, forms2)
+
     def add_batch(self, cts1, cts2):
         from ..core.cl_hsm2k import CipherText
 

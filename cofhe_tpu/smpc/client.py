@@ -146,11 +146,36 @@ class SMPCClient:
         return pd.data
 
     def _fanout(self, payload: bytes, data_type: DataType) -> list[bytes]:
+        """Threshold fan-out with elastic recovery: a node failing MID-fanout
+        (not just before it) triggers a topology refresh + rank recompute and
+        one retry against the surviving combination (the reference only
+        reinits when connections were already short, smpc_client.hpp:118-121;
+        here a failed RPC also drops the dead client first)."""
         if len(self._pd_clients) < self.threshold:
             self.refresh_topology()
-        futures = [self._pool.submit(self._partial_decrypt_rpc, cl, payload, data_type)
-                   for cl in self._pd_clients]
-        return [f.result() for f in futures]
+        for attempt in (0, 1):
+            futures = [self._pool.submit(self._partial_decrypt_rpc, cl,
+                                         payload, data_type)
+                       for cl in self._pd_clients]
+            results, dead = [], []
+            for cl, f in zip(self._pd_clients, futures):
+                try:
+                    results.append(f.result())
+                except (OSError, RuntimeError) as e:
+                    log.warning("partial-decryption RPC to %s:%s failed: %s",
+                                cl.host, cl.port, e)
+                    dead.append(cl)
+            if not dead:
+                return results
+            if attempt == 0:
+                for cl in dead:
+                    try:
+                        cl.close()
+                    except OSError:
+                        pass
+                    self._pd_clients.remove(cl)
+                self.refresh_topology()
+        raise RuntimeError("threshold fan-out failed after elastic reinit")
 
     def decrypt(self, ct) -> int:
         payload = self.cs.serialize_ciphertext(ct).encode()

@@ -28,27 +28,32 @@ class SMPCCipherTextMultiplier:
         return res[0]
 
     def _beaver_batch(self, xs: list, ys: list) -> list:
-        """One Beaver round over a batch of ciphertext pairs."""
+        """One Beaver round over a batch of ciphertext pairs. The local data
+        plane is fully batched through the engine (vector ops), matching the
+        reference's OpenMP vector arms (ciphertext_multiplications.hpp:
+        115-160) — one add_vectors for the diffs, one decrypt fan-out, one
+        batch-encrypt + two scal_vectors + two add_vectors to reassemble."""
         cs, pk = self.cs, self.pk
         n = len(xs)
         triplets = self.smpc.get_beavers_triplets(n)
-        # x - a, y - b (homomorphic subtraction via negation)
-        diffs = []
-        for (x, y), (ea, eb, _ec) in zip(zip(xs, ys), triplets):
-            diffs.append(cs.add_ciphertexts(pk, x, cs.negate_ciphertext(pk, ea)))
-            diffs.append(cs.add_ciphertexts(pk, y, cs.negate_ciphertext(pk, eb)))
+        eas = [t[0] for t in triplets]
+        ebs = [t[1] for t in triplets]
+        ecs = [t[2] for t in triplets]
+        # x - a, y - b (homomorphic subtraction via O(1) group inversion)
+        neg = [cs.negate_ciphertext(pk, c) for c in eas + ebs]
+        diffs = cs.add_ciphertext_vectors(pk, xs + ys, neg)
         # single interactive decrypt round
         opened = self.smpc.decrypt_tensor(Tensor(diffs, (len(diffs),)))
-        out = []
-        for i, ((x, y), (ea, eb, ec)) in enumerate(zip(zip(xs, ys), triplets)):
-            eps = opened[2 * i] % cs.hsm2k.M
-            delta = opened[2 * i + 1] % cs.hsm2k.M
-            z = cs.encrypt(pk, eps * delta % cs.hsm2k.M)
-            z = cs.add_ciphertexts(pk, z, cs.scal_ciphertext(pk, eps, eb))
-            z = cs.add_ciphertexts(pk, z, cs.scal_ciphertext(pk, delta, ea))
-            z = cs.add_ciphertexts(pk, z, ec)
-            out.append(z)
-        return out
+        M = cs.hsm2k.M
+        eps = [v % M for v in opened[:n]]
+        delta = [v % M for v in opened[n:]]
+        # z = Enc(eps*delta) + eps*Enc(b) + delta*Enc(a) + Enc(ab)
+        z = cs.encrypt_vector(pk, [e * d % M for e, d in zip(eps, delta)])
+        t1 = cs.scal_ciphertext_vector(pk, eps, ebs)
+        t2 = cs.scal_ciphertext_vector(pk, delta, eas)
+        z = cs.add_ciphertext_vectors(pk, z, t1)
+        z = cs.add_ciphertext_vectors(pk, z, t2)
+        return cs.add_ciphertext_vectors(pk, z, ecs)
 
     def multiply_ciphertext_tensors(self, ct1: Tensor, ct2: Tensor) -> Tensor:
         """(n, m) x (m, p) -> (n, p) via one broadcast Beaver round plus row
@@ -67,12 +72,26 @@ class SMPCCipherTextMultiplier:
                     xs.append(ct1.at(i, j))
                     ys.append(ct2.at(j, k))
         prods = self._beaver_batch(xs, ys)
-        out = []
-        for i in range(n):
-            for k in range(p):
-                acc = None
-                for j in range(m):
-                    term = prods[(i * m + j) * p + k]
-                    acc = term if acc is None else cs.add_ciphertexts(pk, acc, term)
-                out.append(acc)
-        return Tensor(out, (n, p))
+        # batched log-depth row accumulation over j (one add_vectors per
+        # tree level instead of n*p*(m-1) host-sequential composes)
+        cur, m_cur = prods, m
+        while m_cur > 1:
+            half, odd = m_cur // 2, m_cur % 2
+            A, B, keep = [], [], []
+            for i in range(n):
+                base = i * m_cur * p
+                for j in range(half):
+                    A.extend(cur[base + (2 * j) * p:base + (2 * j + 1) * p])
+                    B.extend(cur[base + (2 * j + 1) * p:base + (2 * j + 2) * p])
+                if odd:
+                    keep.extend(cur[base + (m_cur - 1) * p:base + m_cur * p])
+            comp = cs.add_ciphertext_vectors(pk, A, B)
+            nxt, ci, ki = [], 0, 0
+            for i in range(n):
+                nxt.extend(comp[ci:ci + half * p])
+                ci += half * p
+                if odd:
+                    nxt.extend(keep[ki:ki + p])
+                    ki += p
+            cur, m_cur = nxt, half + odd
+        return Tensor(cur, (n, p))

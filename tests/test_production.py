@@ -1,0 +1,130 @@
+"""Production-parameter validation (slow tier): the reference's own network
+defaults — sec=128, k=256, t=2, n=3 (examples/node.cpp:30-36) — through the
+full stack: join -> encrypt -> ct*ct Beaver matmul via the compute node ->
+threshold decrypt; plus a 64x64 tensor serialization roundtrip at k=256.
+
+Run with:  pytest -m slow tests/test_production.py
+Fast tier: pytest -m "not slow"
+"""
+
+import socket
+import time
+
+import pytest
+
+from cofhe_tpu.node import wire
+from cofhe_tpu.node.network_details import (CryptoSystemDetails, NodeDetails,
+                                            NodeType)
+from cofhe_tpu.node.nodes import (ClientNode, make_cofhe_node,
+                                  make_compute_node, make_setup_node)
+from cofhe_tpu.tensor import Tensor
+
+pytestmark = pytest.mark.slow
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def prod_network():
+    ports = [free_port() for _ in range(5)]
+    setup_nd = NodeDetails("127.0.0.1", str(ports[0]), NodeType.SETUP_NODE)
+    # the reference's hardcoded production defaults (examples/node.cpp:30-36)
+    cs_details = CryptoSystemDetails(type="CoFHE_TPU", public_key="",
+                                     security_level=128, k=256,
+                                     threshold=2, total_nodes=3)
+    servers = []
+    t0 = time.time()
+    setup_server, setup_handler = make_setup_node(setup_nd, cs_details)
+    setup_server.run_in_thread()
+    servers.append(setup_server)
+    for i in range(1, 4):
+        nd = NodeDetails("127.0.0.1", str(ports[i]), NodeType.COFHE_NODE)
+        s = make_cofhe_node(nd, setup_nd)
+        s.run_in_thread()
+        servers.append(s)
+    comp_nd = NodeDetails("127.0.0.1", str(ports[4]), NodeType.COMPUTE_NODE)
+    s = make_compute_node(comp_nd, setup_nd)
+    s.run_in_thread()
+    servers.append(s)
+    client = ClientNode(setup_nd, use_tls=False)
+    print(f"[prod] network up (keygen + joins): {time.time() - t0:.1f}s")
+    yield client
+    client.close()
+    for s in servers:
+        s.stop()
+
+
+def _op(dt, et, data):
+    return wire.ComputeOperand(dt, et, data)
+
+
+def test_production_ct_ct_matmul_threshold_decrypt(prod_network):
+    """2x2 ct * 2x2 ct Beaver matmul + threshold decrypt at sec=128 k=256."""
+    from cofhe_tpu import serialize as ser
+
+    client = prod_network
+    cs, pk = client.crypto_system, client.public_key
+    assert cs.k == 256 and (-cs.hsm2k.Delta).bit_length() > 2300
+    A = [[1.5, 2.0], [3.0, -1.0]]
+    B = [[2.0, 0.5], [1.0, 1.0]]
+    t0 = time.time()
+    ctA = cs.encrypt_tensor(pk, Tensor(
+        [cs.make_plaintext(v) for row in A for v in row], (2, 2)))
+    ctB = cs.encrypt_tensor(pk, Tensor(
+        [cs.make_plaintext(v) for row in B for v in row], (2, 2)))
+    t_enc = time.time() - t0
+
+    t0 = time.time()
+    resp = client.compute(wire.ComputeRequest(
+        wire.ComputeOperationType.BINARY, wire.ComputeOperation.MULTIPLY,
+        [_op(wire.DataType.TENSOR, wire.DataEncryptionType.CIPHERTEXT,
+             ser.serialize_ciphertext_tensor(ctA)),
+         _op(wire.DataType.TENSOR, wire.DataEncryptionType.CIPHERTEXT,
+             ser.serialize_ciphertext_tensor(ctB))]))
+    t_mul = time.time() - t0
+    assert resp.status == wire.Status.OK
+    ct_prod = ser.deserialize_ciphertext_tensor(resp.data)
+
+    t0 = time.time()
+    dec = client.compute(wire.ComputeRequest(
+        wire.ComputeOperationType.UNARY, wire.ComputeOperation.DECRYPT,
+        [_op(wire.DataType.TENSOR, wire.DataEncryptionType.CIPHERTEXT,
+             resp.data)]))
+    t_dec = time.time() - t0
+    assert dec.status == wire.Status.OK
+    got = ser.deserialize_plaintext_tensor(dec.data)
+    print(f"[prod] encrypt {t_enc:.1f}s  beaver-matmul {t_mul:.1f}s  "
+          f"threshold-decrypt {t_dec:.1f}s")
+    for i in range(2):
+        for j in range(2):
+            want = sum(A[i][l] * B[l][j] for l in range(2))
+            assert abs(cs.get_float_from_plaintext(got.at(i, j)) - want) < 1e-6
+    # leftover check on ct_prod shape
+    assert ct_prod.shape == (2, 2)
+
+
+def test_production_serialization_roundtrip_64x64(prod_network):
+    """64x64 ciphertext tensor serialize/deserialize at k=256 (the
+    reference local benchmark tensor size, benchmarks/local.cpp:22-63)."""
+    from cofhe_tpu import serialize as ser
+
+    client = prod_network
+    cs, pk = client.crypto_system, client.public_key
+    t0 = time.time()
+    vals = list(range(64 * 64))
+    ct = cs.encrypt_tensor(pk, Tensor(vals, (64, 64)))
+    t_enc = time.time() - t0
+    t0 = time.time()
+    blob = ser.serialize_ciphertext_tensor(ct)
+    back = ser.deserialize_ciphertext_tensor(blob)
+    t_ser = time.time() - t0
+    print(f"[prod] 64x64 encrypt {t_enc:.1f}s  ser+deser {t_ser:.1f}s "
+          f"({len(blob)/1e6:.1f} MB)")
+    assert back.shape == (64, 64)
+    assert all(back.data[i] == ct.data[i] for i in range(0, 4096, 511))
