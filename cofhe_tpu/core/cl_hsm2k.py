@@ -273,54 +273,84 @@ class CLHSM2k:
         return m % self.M
 
     # -- group ops ----------------------------------------------------------
-    def nucomp(self, f1: Form, f2: Form) -> Form:
+    # Element-level ops delegate to the native GMP backend when it builds
+    # (bit-exact with the pure-Python oracle, tests/test_hostgmp.py);
+    # COFHE_PURE_PYTHON=1 forces the oracle path.
+    @property
+    def _native(self):
+        if not hasattr(self, "_native_cg"):
+            import os
+
+            self._native_cg = None
+            if not os.environ.get("COFHE_PURE_PYTHON"):
+                try:
+                    from ..ops.hostgmp import GmpClassGroup
+
+                    self._native_cg = GmpClassGroup(self.Delta)
+                except Exception:
+                    pass
+        return self._native_cg
+
+    def _compose(self, f1: Form, f2: Form) -> Form:
+        cg = self._native
+        if cg is not None:
+            return cg.compose_batch([f1], [f2])[0]
         return compose(f1, f2)
+
+    def _nupow(self, f: Form, n: int) -> Form:
+        cg = self._native
+        if cg is not None:
+            return cg.nupow_batch([f], [n])[0]
+        return nupow(f, n)
+
+    def nucomp(self, f1: Form, f2: Form) -> Form:
+        return self._compose(f1, f2)
 
     def nucompinv(self, f1: Form, f2: Form) -> Form:
         """f1 * f2^-1 (reference: Cl_Delta().nucompinv at
         cpu_cryptosystem_distributed.inl:267)."""
-        return compose(f1, neg(f2))
+        return self._compose(f1, neg(f2))
 
     def nupow(self, f: Form, n: int) -> Form:
-        return nupow(f, n)
+        return self._nupow(f, n)
 
     def power_of_h(self, r: int) -> Form:
-        return nupow(self.h, r)
+        return self._nupow(self.h, r)
 
     # -- scheme -------------------------------------------------------------
     def keygen(self, rand_gen: RandGen) -> int:
         return rand_gen.random_mpz(self.secretkey_bound())
 
     def pk_from_sk(self, sk: int) -> Form:
-        return nupow(self.h, sk)
+        return self._nupow(self.h, sk)
 
     def encrypt(self, pk: Form, m: int, rand_gen: RandGen) -> CipherText:
         r = rand_gen.random_mpz(self.encrypt_randomness_bound())
         return self.encrypt_with_r(pk, m, r)
 
     def encrypt_with_r(self, pk: Form, m: int, r: int) -> CipherText:
-        c1 = nupow(self.h, r)
-        pkr = nupow(pk, r)
-        return CipherText(c1, compose(self.power_of_f(m), pkr))
+        c1 = self._nupow(self.h, r)
+        pkr = self._nupow(pk, r)
+        return CipherText(c1, self._compose(self.power_of_f(m), pkr))
 
     def encrypt_with_parts(self, m: int, c1: Form, pkr: Form) -> CipherText:
         """Shared-randomness batch encryption: c1 = h^r and pkr = pk^r are
         computed once per batch (reference encrypt_vector trick,
         cpu_cryptosystem_vector_ops.inl:4-18)."""
-        return CipherText(c1, compose(self.power_of_f(m), pkr))
+        return CipherText(c1, self._compose(self.power_of_f(m), pkr))
 
     def decrypt(self, sk: int, ct: CipherText) -> int:
-        c1sk = nupow(ct.c1, sk)
-        fm = compose(ct.c2, neg(c1sk))
+        c1sk = self._nupow(ct.c1, sk)
+        fm = self._compose(ct.c2, neg(c1sk))
         return self.dlog_in_F(fm)
 
     def add_ciphertexts(self, ct1: CipherText, ct2: CipherText) -> CipherText:
-        return CipherText(compose(ct1.c1, ct2.c1), compose(ct1.c2, ct2.c2))
+        return CipherText(self._compose(ct1.c1, ct2.c1), self._compose(ct1.c2, ct2.c2))
 
     def scal_ciphertext(self, ct: CipherText, s: int) -> CipherText:
         if s < 0:
             raise ValueError("plaintext scalar must be non-negative")
-        return CipherText(nupow(ct.c1, s), nupow(ct.c2, s))
+        return CipherText(self._nupow(ct.c1, s), self._nupow(ct.c2, s))
 
     def negate_ciphertext(self, ct: CipherText) -> CipherText:
         return CipherText(reduce_form(neg(ct.c1)), reduce_form(neg(ct.c2)))
@@ -329,7 +359,7 @@ class CLHSM2k:
     def part_decrypt(self, ct: CipherText, sk_share: int) -> Form:
         """d_i = c1^{s_i} (reference partDecrypt,
         cpu_cryptosystem_distributed.inl:244-254)."""
-        return nupow(ct.c1, sk_share)
+        return self._nupow(ct.c1, sk_share)
 
     def final_decrypt(self, ct: CipherText, ds: list[Form]) -> int:
         """Combine partial decryptions: lambda = (1, -1, ..., -1),
@@ -337,6 +367,6 @@ class CLHSM2k:
         finalDecrypt, cpu_cryptosystem_distributed.inl:256-270)."""
         d = ds[0]
         for di in ds[1:]:
-            d = compose(d, neg(di))
-        fm = compose(ct.c2, neg(d))
+            d = self._compose(d, neg(di))
+        fm = self._compose(ct.c2, neg(d))
         return self.dlog_in_F(fm)

@@ -71,8 +71,10 @@ def test_production_ct_ct_matmul_threshold_decrypt(prod_network):
     client = prod_network
     cs, pk = client.crypto_system, client.public_key
     assert cs.k == 256 and (-cs.hsm2k.Delta).bit_length() > 2300
-    A = [[1.5, 2.0], [3.0, -1.0]]
-    B = [[2.0, 0.5], [1.0, 1.0]]
+    # integral floats: the codec's scaling factor is 1 (reference parity,
+    # cpu_cryptosystem.hpp:150-161), so fractional inputs truncate
+    A = [[2.0, 2.0], [3.0, -1.0]]
+    B = [[2.0, 1.0], [1.0, 1.0]]
     t0 = time.time()
     ctA = cs.encrypt_tensor(pk, Tensor(
         [cs.make_plaintext(v) for row in A for v in row], (2, 2)))
