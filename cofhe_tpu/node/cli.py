@@ -37,10 +37,19 @@ def main(argv=None):
     ap.add_argument("--toy", action="store_true", help="tiny parameters for local demos")
     ap.add_argument("--state", default=None,
                     help="setup-node checkpoint file (restore on restart)")
+    ap.add_argument("--distributed", default=None,
+                    help="multi-host chips for THIS node: coordinator:port,"
+                         "nproc,pid (jax.distributed; --device tpu then "
+                         "meshes over all global devices)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    if args.distributed:
+        from ..parallel import distributed as dist
+
+        dist.init(**dist.parse_flag(args.distributed))
 
     from .network_details import CryptoSystemDetails, NodeDetails, NodeType
     from . import nodes as node_factories
