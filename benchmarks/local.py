@@ -17,6 +17,9 @@ from __future__ import annotations
 import argparse
 import random
 import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

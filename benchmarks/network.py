@@ -13,7 +13,11 @@ Start a network first: python scripts/start_network.py [--toy].
 from __future__ import annotations
 
 import argparse
+import os
 import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
