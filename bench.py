@@ -85,35 +85,28 @@ def main():
     expect = sum(ct_vals[j] * s_vals[j * p] for j in range(m)) % M
     assert dec == expect, "bench result decrypts incorrectly"
 
-    # honest CPU baseline: the native GMP+OpenMP backend (reference cost
-    # model) on a subsample of output cells, extrapolated linearly
+    # honest CPU baseline: the native GMP+OpenMP backend's OWN matmul path
+    # (shared doubling chain per cell + batched log-tree accumulation, the
+    # reference's qfi_nupow cache structure) on a (1, m) x (m, p_s)
+    # subsample, extrapolated linearly
     host_ops_per_s = None
     try:
         from cofhe_tpu.ops.hostgmp import GmpEngine
 
         heng = GmpEngine(cs.hsm2k)
-        cells_per_op = m  # one output cell = m ladder ops + m composes
-        sample_cells = max(1, min(host_sample, n * p))
-        # time nupow (m ladders) + the row accumulation for sample_cells
-        forms, exps = [], []
-        for cell in range(sample_cells):
-            i, kk = divmod(cell, p)
-            for j in range(m):
-                forms.append(ct.at(i, j).c1)
-                exps.append(s_vals[j * p + kk])
+        p_s = max(1, min(host_sample, p))
+        s_sub = Tensor([s_vals[j * p + kk] for j in range(m)
+                        for kk in range(p_s)], (m, p_s))
+        ct_row = Tensor([ct.at(0, j) for j in range(m)], (1, m))
+        zero = cs.encrypt(pk, 0)
         t0 = time.time()
-        powed = heng.cg.nupow_batch(forms, exps)
-        acc = powed
-        while len(acc) > sample_cells:
-            half = len(acc) // 2
-            acc = heng.cg.compose_batch(acc[:half], acc[half:])
+        heng.scal_matmul(s_sub, ct_row, zero)
         host_time = time.time() - t0
-        # a full matmul does 2x this work (c1 and c2 halves) for n*p cells
-        full_est = host_time * 2 * (n * p) / sample_cells
+        full_est = host_time * n * (p / p_s)
         host_ops_per_s = ops / full_est
         print(f"# host(GMP+OpenMP x{heng.cg.lib.cg_num_threads()}): "
               f"{host_ops_per_s:.1f} scal-ops/s "
-              f"(sampled {sample_cells} cells, {host_time:.1f}s)",
+              f"(1x{m}x{p_s} sample, {host_time:.1f}s)",
               file=sys.stderr)
     except Exception as e:  # no g++/libgmp: fall back to pure-Python sample
         print(f"# native baseline unavailable ({e}); pure-Python fallback",

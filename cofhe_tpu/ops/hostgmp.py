@@ -58,6 +58,9 @@ def get_lib():
         lib.cg_nudupl_batch.argtypes = [c, c, c, c, i64, i64, c, i64]
         lib.cg_nupow_batch.restype = None
         lib.cg_nupow_batch.argtypes = [c, c, c, c, i64, c, c, i64, i64, c, i64]
+        lib.cg_nupow_shared_batch.restype = None
+        lib.cg_nupow_shared_batch.argtypes = [c, c, c, c, i64, i64, c, c,
+                                              i64, i64, c, i64]
         _LIB = lib
         return _LIB
 
@@ -147,6 +150,31 @@ class GmpClassGroup:
         return self._unpack(ob, os_)
 
 
+    def nupow_shared_batch(self, forms, exps_per_form) -> list[Form]:
+        """forms[i] ^ e for each e in exps_per_form[i] (len-p rows), the
+        doubling chain shared per form (reference qfi.inl:28-62 cache)."""
+        n = len(forms)
+        p = len(exps_per_form[0]) if n else 0
+        b, s = self._pack(forms)
+        flat = [int(e) for row in exps_per_form for e in row]
+        elen = max(1, max((abs(e).bit_length() for e in flat), default=1))
+        elen = (elen + 7) // 8
+        eb = np.zeros((n * p, elen), dtype=np.uint8)
+        es = np.ones(n * p, dtype=np.int8)
+        for i, e in enumerate(flat):
+            if e < 0:
+                es[i] = -1
+                e = -e
+            eb[i] = np.frombuffer(e.to_bytes(elen, "little"), dtype=np.uint8)
+        ob = np.zeros((n * p, 3, self.stride), dtype=np.uint8)
+        os_ = np.ones((n * p, 3), dtype=np.int8)
+        self.lib.cg_nupow_shared_batch(
+            b.ctypes.data, s.ctypes.data, eb.ctypes.data, es.ctypes.data,
+            elen, p, ob.ctypes.data, os_.ctypes.data, n, self.stride,
+            self._disc.ctypes.data, len(self._disc))
+        return self._unpack(ob, os_)
+
+
 class GmpEngine:
     """Same batched-op surface as ops.engine.JaxEngine, on the GMP backend.
 
@@ -200,17 +228,17 @@ class GmpEngine:
         _, p = s_tensor.shape
         cells = [ct_tensor.at(i, j) for i in range(n) for j in range(m)]
         s = [int(s_tensor.at(j, k)) for j in range(m) for k in range(p)]
-        # rows: (h, i, j, k) h in {c1, c2}
+        # rows: (h, i, j, k) h in {c1, c2}; doubling chain shared across the
+        # p exponents of each cell (reference qfi.inl:28-62)
         forms = []
-        exps = []
+        rows = []
         for half in range(2):
             for i in range(n):
                 for j in range(m):
-                    f = cells[i * m + j].c1 if half == 0 else cells[i * m + j].c2
-                    for k in range(p):
-                        forms.append(f)
-                        exps.append(s[j * p + k])
-        powed = self.cg.nupow_batch(forms, exps)
+                    ct = cells[i * m + j]
+                    forms.append(ct.c1 if half == 0 else ct.c2)
+                    rows.append(s[j * p:(j + 1) * p])
+        powed = self.cg.nupow_shared_batch(forms, rows)
         # tree-reduce over j: state (2, n, m_cur, p)
         cur = powed
         m_cur = m

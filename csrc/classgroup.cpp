@@ -327,6 +327,77 @@ void cg_nudupl_batch(const uint8_t *f, const int8_t *s, uint8_t *out,
   }
 }
 
+// out[i*p + j] = reduce(f[i] ^ e[i*p + j]) with the doubling chain of f[i]
+// shared across its p exponents (the reference's cross-exponent cache,
+// qfi.inl:28-62, in right-to-left binary form). Class inversion is free
+// (negate b), so negative exponents reuse the same chain.
+void cg_nupow_shared_batch(const uint8_t *f, const int8_t *s,
+                           const uint8_t *exps, const int8_t *esigns,
+                           int64_t elen, int64_t p, uint8_t *out, int8_t *so,
+                           int64_t n, int64_t stride, const uint8_t *disc,
+                           int64_t dlen) {
+  DiscHolder D(disc, dlen);
+#pragma omp parallel
+  {
+    Scratch base, chain, tmp, negv;
+    Scratch *acc = new Scratch[(size_t)p];
+    mpz_t *e = new mpz_t[(size_t)p];
+    bool *neg_e = new bool[(size_t)p];
+    bool *have = new bool[(size_t)p];
+    for (int64_t j = 0; j < p; j++) __gmpz_init(e[j]);
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+      load_form(base, f, s, i, stride);
+      reduce(base, D.absD);
+      long maxbits = 0;
+      for (int64_t j = 0; j < p; j++) {
+        __gmpz_import(e[j], (size_t)elen, -1, 1, 0, 0, exps + (i * p + j) * elen);
+        neg_e[j] = esigns[i * p + j] < 0;
+        have[j] = false;
+        if (mpz_sgn_(e[j]) != 0) {
+          long nb = (long)__gmpz_sizeinbase(e[j], 2);
+          if (nb > maxbits) maxbits = nb;
+        }
+      }
+      __gmpz_set(chain.a, base.a); __gmpz_set(chain.b, base.b);
+      __gmpz_set(chain.c, base.c);
+      for (long t = 0; t < maxbits; t++) {
+        for (int64_t j = 0; j < p; j++) {
+          if (!__gmpz_tstbit(e[j], (unsigned long)t)) continue;
+          // term = chain (or its class inverse for negative exponents)
+          const Scratch *term = &chain;
+          if (neg_e[j]) {
+            __gmpz_set(negv.a, chain.a); __gmpz_set(negv.b, chain.b);
+            __gmpz_set(negv.c, chain.c);
+            neg_form(negv);
+            term = &negv;
+          }
+          if (!have[j]) {
+            __gmpz_set(acc[j].a, term->a); __gmpz_set(acc[j].b, term->b);
+            __gmpz_set(acc[j].c, term->c);
+            have[j] = true;
+          } else {
+            compose(tmp, acc[j], *term, D.absD);
+            __gmpz_swap(acc[j].a, tmp.a); __gmpz_swap(acc[j].b, tmp.b);
+            __gmpz_swap(acc[j].c, tmp.c);
+          }
+        }
+        if (t + 1 < maxbits) {
+          nudupl(tmp, chain, D.absD);
+          __gmpz_swap(chain.a, tmp.a); __gmpz_swap(chain.b, tmp.b);
+          __gmpz_swap(chain.c, tmp.c);
+        }
+      }
+      for (int64_t j = 0; j < p; j++) {
+        if (!have[j]) set_identity(acc[j], D.absD);
+        store_form(out, so, i * p + j, stride, acc[j]);
+      }
+    }
+    for (int64_t j = 0; j < p; j++) __gmpz_clear(e[j]);
+    delete[] acc; delete[] e; delete[] neg_e; delete[] have;
+  }
+}
+
 // out[i] = reduce(f[i]^e[i])
 void cg_nupow_batch(const uint8_t *f, const int8_t *s, const uint8_t *exps,
                     const int8_t *esigns, int64_t elen, uint8_t *out,
