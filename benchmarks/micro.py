@@ -119,6 +119,25 @@ def main():
         if "nudupl2" in what:
             bench("nudupl2", jax.jit(cg.nudupl2), b1)
 
+    if "yao2" in what:
+        # the matmul's ladder in isolation: B exponent rows over 8 shared
+        # bases (the doubling chain advances on 8 rows only)
+        import jax as _jax
+
+        from cofhe_tpu.ops.engine import JaxEngine, YAO_W
+        from cofhe_tpu.ops.nupow2 import nupow_yao2, nwind_for_bits
+
+        eng = JaxEngine(hsm)
+        nwind = nwind_for_bits(args.k, YAO_W)
+        base = bform_from_forms(seeds, eng.L)
+        base_map = np.arange(B, dtype=np.int32) % 8
+        exps = [int(rng.random_mpz(1 << args.k)) for _ in range(B)]
+        digits = eng._digits_for(exps, B, nwind,
+                                 np.arange(B, dtype=np.int64))
+        kern = _jax.jit(lambda d: nupow_yao2(eng.cg, base, d,
+                                             base_map=base_map, w=YAO_W))
+        bench("yao2-ladder", kern, jnp.asarray(digits))
+
 
 if __name__ == "__main__":
     main()
