@@ -356,28 +356,62 @@ class JaxEngine:
         forms = bform_to_forms(jax.tree.map(np.asarray, fm))[:n]
         return [self.hsm.dlog_in_F(f) for f in forms]
 
+    # ct rows per fused-jit call: rows are independent, so large matmuls
+    # run as row chunks through ONE compiled kernel (bounds XLA compile
+    # memory — the 8x64x64 reference shape as a single 65k-row jit OOMs
+    # the TPU compiler). Env override: COFHE_MATMUL_CHUNK_ROWS.
+    @staticmethod
+    def _chunk_rows(m: int, p: int) -> int:
+        import os
+
+        env = os.environ.get("COFHE_MATMUL_CHUNK_ROWS")
+        if env:
+            return max(1, int(env))
+        # target <= ~16k exponent rows per call (2 * rows * m * p)
+        rows = max(1, 8192 // max(1, m * p))
+        return rows
+
     def scal_matmul(self, s_tensor, ct_tensor, zero_ct: CipherText):
-        """ct (n,m) x s (m,p) -> (n,p); one fused jit (see module doc)."""
+        """ct (n,m) x s (m,p) -> (n,p); row-chunked fused jits (module doc)."""
         from ..tensor import Tensor
 
         n, m = ct_tensor.shape
         m2, p = s_tensor.shape
+        chunk = min(n, self._chunk_rows(m, p))
+        scalars = [int(s_tensor.at(j, kk)) for j in range(m) for kk in range(p)]
+        out_forms: list = [None] * (2 * n * p)
+        for start in range(0, n, chunk):
+            rows = list(range(start, min(start + chunk, n)))
+            pad = chunk - len(rows)
+            rows_p = rows + [rows[0]] * pad  # pad partial chunk, drop later
+            cts_out = self._scal_matmul_rows(rows_p, scalars, s_tensor,
+                                             ct_tensor, zero_ct, m, p)
+            for ri, i in enumerate(rows):
+                for kk in range(p):
+                    out_forms[i * p + kk] = cts_out[ri * p + kk][0]
+                    out_forms[n * p + i * p + kk] = cts_out[ri * p + kk][1]
+        cts = [CipherText(out_forms[i], out_forms[n * p + i])
+               for i in range(n * p)]
+        return Tensor(cts, (n, p))
+
+    def _scal_matmul_rows(self, rows, scalars, s_tensor, ct_tensor, zero_ct,
+                          m: int, p: int):
+        """One fused-kernel call over `rows` ct rows; returns (c1, c2) pairs
+        in (row, k) order."""
+        nr = len(rows)
         nwind = nwind_for_bits(self.hsm.k, YAO_W)
-        kern = self._matmul_kernel(n, m, p, nwind)
-        cells = [ct_tensor.at(i, j) for i in range(n) for j in range(m)]
+        kern = self._matmul_kernel(nr, m, p, nwind)
+        cells = [ct_tensor.at(i, j) for i in rows for j in range(m)]
         bf_cells = bform_from_forms(
             [ct.c1 for ct in cells] + [ct.c2 for ct in cells], self.L)
-        # exponent row (h, i, j, k) -> scalar s[j, k] (same for both halves)
-        scalars = [int(s_tensor.at(j, kk)) for j in range(m) for kk in range(p)]
-        row_map = np.zeros(2 * n * m * p, dtype=np.int64)
+        row_map = np.zeros(2 * nr * m * p, dtype=np.int64)
         for h in range(2):
-            for i in range(n):
-                base = (h * n + i) * m * p
+            for i in range(nr):
+                base = (h * nr + i) * m * p
                 row_map[base:base + m * p] = np.arange(m * p)
-        digits = self._digits_for(scalars, 2 * n * m * p, nwind, row_map)
+        digits = self._digits_for(scalars, 2 * nr * m * p, nwind, row_map)
         bf_zero = bform_from_forms(
-            [zero_ct.c1] * (n * p) + [zero_ct.c2] * (n * p), self.L)
+            [zero_ct.c1] * (nr * p) + [zero_ct.c2] * (nr * p), self.L)
         final = kern(bf_cells, jnp.asarray(digits), bf_zero)
         forms = bform_to_forms(jax.tree.map(np.asarray, final))
-        cts = [CipherText(forms[i], forms[n * p + i]) for i in range(n * p)]
-        return Tensor(cts, (n, p))
+        return [(forms[i], forms[nr * p + i]) for i in range(nr * p)]
