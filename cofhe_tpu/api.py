@@ -70,7 +70,23 @@ class CryptoSystem:
         self._engine = None
         if device in ("tpu", "jax", "cpu-jax"):
             # backend selection is JAX-global (JAX_PLATFORMS / jax_platforms
-            # config); an optional device mesh shards the batched kernels
+            # config); an optional device mesh shards the batched kernels.
+            # cpu-jax pins the CPU platform (raises if another backend is
+            # already initialized — the global platform cannot be changed
+            # after first use)
+            if device == "cpu-jax":
+                import jax
+
+                from jax._src import xla_bridge
+
+                if xla_bridge.backends_are_initialized():
+                    if jax.default_backend() != "cpu":
+                        raise RuntimeError(
+                            "device='cpu-jax' requested but the JAX backend "
+                            f"is already '{jax.default_backend()}'; set "
+                            "JAX_PLATFORMS=cpu before first JAX use")
+                else:
+                    jax.config.update("jax_platforms", "cpu")
             from .ops.engine import JaxEngine
 
             self._engine = JaxEngine(self.hsm2k, mesh=mesh)
@@ -238,6 +254,18 @@ class CryptoSystem:
             raise ValueError("tensors must be 0D, 1D or 2D for now")
         if s.is_zero_degree() and cts.is_zero_degree():
             return Tensor.zero_degree(self.scal_ciphertext(pk, s.get_value(), cts.get_value()))
+        if s.is_zero_degree() or len(s.data) == 1:
+            # 0-D scalar x n-D ct tensor: broadcast elementwise scal (the
+            # reference's 0-D tensor is a 1-element storage its accessors
+            # broadcast, tensor.hpp:1109; path at
+            # cpu_cryptosystem_tensor_ops.inl:275-340)
+            sval = s.data[0]
+            return Tensor(self.scal_ciphertext_vector(
+                pk, [sval] * len(cts.data), cts.data), cts.shape)
+        if cts.is_zero_degree() or len(cts.data) == 1:
+            ctv = cts.data[0]
+            return Tensor(self.scal_ciphertext_vector(
+                pk, s.data, [ctv] * len(s.data)), s.shape)
         if s.ndim == 1 and cts.ndim == 1:
             if s.shape != cts.shape:
                 raise ValueError("vector sizes must be equal")

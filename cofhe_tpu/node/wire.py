@@ -288,14 +288,19 @@ class JoinAsNodeRequest:
     port: str
 
     def to_bytes(self) -> bytes:
+        # declared size is ip.size()+1+port.size()+1 = len(body)+1 — one more
+        # than the bytes actually written ("ip port"), a reference quirk its
+        # ctor VALIDATES (join_as_node.hpp:224-230, 231); match it exactly
         body = f"{self.ip} {self.port}"
-        return f"{int(self.join_type)} {len(body) + 2}\n".encode() + body.encode()
+        return f"{int(self.join_type)} {len(body) + 1}\n".encode() + body.encode()
 
     @staticmethod
     def from_bytes(payload: bytes) -> "JoinAsNodeRequest":
         header, rest = _split_header(payload)
-        typ, _size = (int(x) for x in header.split())
+        typ, size = (int(x) for x in header.split())
         ip, port = rest.decode().split()
+        if size != len(ip) + 1 + len(port) + 1:
+            raise ValueError("Data size mismatch")  # join_as_node.hpp:226-229
         return JoinAsNodeRequest(JoinType(typ), ip, port)
 
 

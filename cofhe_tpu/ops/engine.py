@@ -74,6 +74,22 @@ class JaxEngine:
         self._identity_form = hsm2k.identity
 
     # ------------------------------------------------------------- transport
+    @staticmethod
+    def _fetch(tree):
+        """Device->host transfer that also works when outputs span multiple
+        jax.distributed processes (global mesh): every host receives the
+        FULL result, matching the reference's semantics where each party
+        holds whole ciphertext tensors (smpc_client.hpp:125-159)."""
+        def one(x):
+            if getattr(x, "is_fully_addressable", True):
+                return np.asarray(x)
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+
+        return jax.tree.map(one, tree)
+
     def _forms_to_bform(self, forms, batch: int) -> BForm:
         padded = list(forms) + [self._identity_form] * (batch - len(forms))
         return bform_from_forms(padded, self.L)
@@ -163,6 +179,17 @@ class JaxEngine:
             return nupow_shared_wnaf2(cg, base, sched, w=w)
 
         return k
+
+    @functools.lru_cache(maxsize=16)
+    def _matmul_kernel2(self, nr: int, m: int, p: int, nwind: int):
+        """Pool-machine fused matmul (ops/matmul2.py): 3 compose instances
+        driven by job-stream scans instead of the ~10-instance v2 graph.
+        Returns (plan, jitted fn(bf_cells, bf_zero, jobs_b))."""
+        from .matmul2 import get_plan, make_matmul_fn
+
+        plan = get_plan(nr, m, p, nwind, YAO_W)
+        fn = make_matmul_fn(self.cg, plan)
+        return plan, jax.jit(fn)
 
     @functools.lru_cache(maxsize=32)
     def _matmul_kernel(self, n: int, m: int, p: int, nwind: int):
@@ -298,13 +325,13 @@ class JaxEngine:
         bf1 = self._forms_to_bform(forms1, batch)
         bf2 = self._forms_to_bform(forms2, batch)
         out = self._add_kernel(batch)(bf1, bf2)
-        return bform_to_forms(jax.tree.map(np.asarray, out))[:n]
+        return bform_to_forms(self._fetch(out))[:n]
 
     def add_batch(self, cts1, cts2):
         bf1, n, batch = self._cts_to_bform(cts1)
         bf2, _, _ = self._cts_to_bform(cts2)
         out = self._add_kernel(batch)(bf1, bf2)
-        return self._bform_to_cts(jax.tree.map(np.asarray, out), n)
+        return self._bform_to_cts(self._fetch(out), n)
 
     def scal_batch(self, scalars, cts):
         n = len(cts)
@@ -316,7 +343,7 @@ class JaxEngine:
         row_map[n:2 * n] = np.arange(n)
         digits = self._digits_for(list(scalars), batch, nwind, row_map)
         out = self._scal_kernel(batch, nwind)(bf, jnp.asarray(digits))
-        return self._bform_to_cts(jax.tree.map(np.asarray, out), n)
+        return self._bform_to_cts(self._fetch(out), n)
 
     def part_decrypt_batch(self, share: int, cts):
         """d_i = c1^share for every ct (shared exponent)."""
@@ -334,7 +361,7 @@ class JaxEngine:
         sched = [0] * ((-len(sched)) % 64) + sched
         out = self._shared_wnaf_kernel(batch, len(sched), w)(
             bf, jnp.asarray(sched, jnp.int32))
-        forms = bform_to_forms(jax.tree.map(np.asarray, out))[:n]
+        forms = bform_to_forms(self._fetch(out))[:n]
         if neg:
             from ..core.qfi import neg as qneg, reduce_form
 
@@ -353,7 +380,7 @@ class JaxEngine:
         bf_inv = self._forms_to_bform(inv, batch)
         bf_c2 = self._forms_to_bform([ct.c2 for ct in cts], batch)
         fm = self._add_kernel(batch)(bf_c2, bf_inv)
-        forms = bform_to_forms(jax.tree.map(np.asarray, fm))[:n]
+        forms = bform_to_forms(self._fetch(fm))[:n]
         return [self.hsm.dlog_in_F(f) for f in forms]
 
     # ct rows per fused-jit call: rows are independent, so large matmuls
@@ -378,14 +405,19 @@ class JaxEngine:
         n, m = ct_tensor.shape
         m2, p = s_tensor.shape
         chunk = min(n, self._chunk_rows(m, p))
-        scalars = [int(s_tensor.at(j, kk)) for j in range(m) for kk in range(p)]
+        nwind = nwind_for_bits(self.hsm.k, YAO_W)
+        # recode every scalar ONCE per matmul (not once per chunk)
+        recoded = np.zeros((m * p, nwind), dtype=np.int32)
+        for idx in range(m * p):
+            recoded[idx] = signed_windows(int(s_tensor.data[idx]), YAO_W,
+                                          nwind)
         out_forms: list = [None] * (2 * n * p)
         for start in range(0, n, chunk):
             rows = list(range(start, min(start + chunk, n)))
             pad = chunk - len(rows)
             rows_p = rows + [rows[0]] * pad  # pad partial chunk, drop later
-            cts_out = self._scal_matmul_rows(rows_p, scalars, s_tensor,
-                                             ct_tensor, zero_ct, m, p)
+            cts_out = self._scal_matmul_rows(rows_p, recoded, ct_tensor,
+                                             zero_ct, m, p)
             for ri, i in enumerate(rows):
                 for kk in range(p):
                     out_forms[i * p + kk] = cts_out[ri * p + kk][0]
@@ -394,24 +426,23 @@ class JaxEngine:
                for i in range(n * p)]
         return Tensor(cts, (n, p))
 
-    def _scal_matmul_rows(self, rows, scalars, s_tensor, ct_tensor, zero_ct,
+    def _scal_matmul_rows(self, rows, recoded, ct_tensor, zero_ct,
                           m: int, p: int):
         """One fused-kernel call over `rows` ct rows; returns (c1, c2) pairs
-        in (row, k) order."""
+        in (row, k) order. `recoded`: (m*p, nwind) signed digits of the
+        scalar matrix (from scal_matmul; row-major (j, kk))."""
         nr = len(rows)
-        nwind = nwind_for_bits(self.hsm.k, YAO_W)
-        kern = self._matmul_kernel(nr, m, p, nwind)
+        nwind = recoded.shape[1]
+        plan, kern = self._matmul_kernel2(nr, m, p, nwind)
         cells = [ct_tensor.at(i, j) for i in rows for j in range(m)]
         bf_cells = bform_from_forms(
             [ct.c1 for ct in cells] + [ct.c2 for ct in cells], self.L)
-        row_map = np.zeros(2 * nr * m * p, dtype=np.int64)
-        for h in range(2):
-            for i in range(nr):
-                base = (h * nr + i) * m * p
-                row_map[base:base + m * p] = np.arange(m * p)
-        digits = self._digits_for(scalars, 2 * nr * m * p, nwind, row_map)
+        # digit lane r = ((hi*m + j)*p + kk) -> scalar (j*p + kk)
+        digits = np.ascontiguousarray(
+            np.tile(recoded.T, (1, 2 * nr)))  # (nwind, 2*nr*m*p)
         bf_zero = bform_from_forms(
             [zero_ct.c1] * (nr * p) + [zero_ct.c2] * (nr * p), self.L)
-        final = kern(bf_cells, jnp.asarray(digits), bf_zero)
-        forms = bform_to_forms(jax.tree.map(np.asarray, final))
+        jobs = plan.jobs_b(digits)
+        final = kern(bf_cells, bf_zero, jnp.asarray(jobs))
+        forms = bform_to_forms(self._fetch(final))
         return [(forms[i], forms[nr * p + i]) for i in range(nr * p)]

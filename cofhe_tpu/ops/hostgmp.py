@@ -36,17 +36,41 @@ def get_lib():
         if _TRIED:
             return _LIB
         _TRIED = True
-        if not (os.path.exists(_OUT)
-                and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC)):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", _OUT,
-                     _SRC, "-l:libgmp.so.10"],
-                    check=True, capture_output=True, timeout=180)
-            except (OSError, subprocess.SubprocessError):
-                return None
+        # freshness is keyed on a content hash of the source embedded in the
+        # artifact name (mtimes are arbitrary after checkout); missing source
+        # (installed/pruned layout) falls back to any committed .so
+        out = _OUT
+        if os.path.exists(_SRC):
+            import hashlib
+
+            with open(_SRC, "rb") as f:
+                tag = hashlib.sha256(f.read()).hexdigest()[:12]
+            hashed = _OUT[:-3] + f"-{tag}.so"
+            if os.path.exists(hashed):
+                out = hashed
+            else:
+                tmp = hashed + f".tmp{os.getpid()}"
+                try:
+                    subprocess.run(
+                        ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o",
+                         tmp, _SRC, "-l:libgmp.so.10"],
+                        check=True, capture_output=True, timeout=180)
+                    os.replace(tmp, hashed)  # atomic vs concurrent builders
+                    out = hashed
+                except (OSError, subprocess.SubprocessError):
+                    # build failed: use the committed artifact if present
+                    if not os.path.exists(_OUT):
+                        return None
+                finally:
+                    if os.path.exists(tmp):
+                        try:
+                            os.remove(tmp)
+                        except OSError:
+                            pass
+        elif not os.path.exists(_OUT):
+            return None
         try:
-            lib = ctypes.CDLL(_OUT)
+            lib = ctypes.CDLL(out)
         except OSError:
             return None
         c = ctypes.c_void_p

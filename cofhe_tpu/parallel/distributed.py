@@ -25,17 +25,24 @@ import logging
 
 log = logging.getLogger("cofhe_tpu.distributed")
 
-_initialized = False
+_initialized = False        # jax.distributed.initialize actually ran
 
 
 def init(coordinator: str | None = None, num_processes: int = 1,
          process_id: int = 0) -> None:
-    """Initialize the jax.distributed runtime (idempotent; no-op for a
-    single process)."""
+    """Initialize the jax.distributed runtime (idempotent). A single-process
+    call is a no-op that does NOT latch, so a later genuine multi-process
+    init still runs; a multi-process misconfiguration raises instead of
+    silently degrading to single-host operation."""
     global _initialized
-    if _initialized or num_processes <= 1:
-        _initialized = True
+    if num_processes <= 1:
         return
+    if _initialized:
+        return
+    if coordinator is None:
+        raise ValueError(
+            f"multi-process init (num_processes={num_processes}) requires a "
+            "coordinator address")
     import jax
 
     jax.distributed.initialize(coordinator_address=coordinator,
