@@ -197,7 +197,16 @@ class CryptoSystem:
         return [self.hsm2k.part_decrypt(ct, sks) for ct in cts]
 
     def combine_part_decryption_results_vector(self, cts, pdrs_per_party) -> list[int]:
-        """pdrs_per_party: list over parties of per-element PDR lists."""
+        """pdrs_per_party: list over parties of per-element PDR lists.
+        Large batches route through the engine's masked-inverse combine
+        tree (collective over the mesh tp axis when one device holds each
+        party's shares — the ICI form of smpc_client.hpp:153-159)."""
+        from .ops.engine import JaxEngine
+
+        if (isinstance(self._engine, JaxEngine)
+                and len(cts) >= self._engine.min_batch_encrypt):
+            return self._engine.combine_batch(list(cts),
+                                              [list(p) for p in pdrs_per_party])
         out = []
         for i, ct in enumerate(cts):
             out.append(self.hsm2k.final_decrypt(ct, [p[i] for p in pdrs_per_party]))

@@ -180,6 +180,22 @@ class JaxEngine:
 
         return k
 
+    def _mesh_dims(self):
+        if self.mesh is None:
+            return 1, 1
+        shape = dict(self.mesh.shape)
+        return shape.get("dp", 1), shape.get("tp", 1)
+
+    @functools.lru_cache(maxsize=16)
+    def _matmul_kernel_sharded(self, rows2_loc: int, m_loc: int, p: int,
+                               nwind: int):
+        """dp x tp sharded pool-machine matmul (parallel/sharded.py)."""
+        from ..parallel.sharded import sharded_matmul_fn
+        from .matmul2 import get_plan
+
+        plan = get_plan(rows2_loc, m_loc, p, nwind, YAO_W)
+        return plan, sharded_matmul_fn(self.mesh, self.cg, plan)
+
     @functools.lru_cache(maxsize=16)
     def _matmul_kernel2(self, nr: int, m: int, p: int, nwind: int):
         """Pool-machine fused matmul (ops/matmul2.py): 3 compose instances
@@ -187,7 +203,7 @@ class JaxEngine:
         Returns (plan, jitted fn(bf_cells, bf_zero, jobs_b))."""
         from .matmul2 import get_plan, make_matmul_fn
 
-        plan = get_plan(nr, m, p, nwind, YAO_W)
+        plan = get_plan(2 * nr, m, p, nwind, YAO_W)
         fn = make_matmul_fn(self.cg, plan)
         return plan, jax.jit(fn)
 
@@ -368,6 +384,55 @@ class JaxEngine:
             forms = [reduce_form(qneg(f)) for f in forms]
         return forms
 
+    @functools.lru_cache(maxsize=8)
+    def _combine_kernel(self, t: int, batch: int):
+        """Masked-inverse threshold-combine tree over a (t, batch) PDR
+        stack. With a mesh whose tp axis == t, each party's shares live on
+        their own device and the combine all_gathers over ICI (the TPU form
+        of the reference's t TLS fan-ins, smpc_client.hpp:153-159); else a
+        local scan tree."""
+        from ..parallel.sharded import (_scan_tree_compose,
+                                        sharded_threshold_combine)
+
+        cg = self.cg
+        dp, tp = self._mesh_dims()
+        if tp == t and t > 1:
+            return sharded_threshold_combine(self.mesh, cg)
+
+        def k(stacked):
+            return _scan_tree_compose(cg, stacked, t)
+
+        return jax.jit(k)
+
+    def combine_batch(self, cts, pdrs_per_party):
+        """final_decrypt over a batch: d = d_0 ∘ (d_1 ∘ ... ∘ d_{t-1})^-1
+        (lambda = (1,-1,...,-1)), m = dlog(c2 ∘ d^-1) — batched tree +
+        batched compose, host dlog (reference finalDecrypt,
+        cpu_cryptosystem_distributed.inl:256-270)."""
+        from ..core.qfi import neg as qneg, reduce_form
+
+        t = len(pdrs_per_party)
+        n = len(cts)
+        batch = _bucket(n)
+        # lambda applied host-side: invert every party's shares but the
+        # first (form negation = b sign flip + boundary re-reduce)
+        rows = [pdrs_per_party[0]] + [
+            [reduce_form(qneg(f)) for f in p] for p in pdrs_per_party[1:]]
+        stacks = [self._forms_to_bform(r, batch) for r in rows]
+        stacked = BForm(*(jnp.stack([np.asarray(getattr(s, f)) for s in stacks])
+                          for f in ("a", "b_sign", "b", "c")))
+        d_bf = self._combine_kernel(t, batch)(stacked)
+        d_np = self._fetch(d_bf)
+        if d_np.a.ndim == 3:  # sharded combine returns (tp, batch, L) copies
+            d_np = BForm(d_np.a[0], d_np.b_sign[0], d_np.b[0], d_np.c[0])
+        d_forms = bform_to_forms(d_np)[:n]
+        inv = [reduce_form(qneg(f)) for f in d_forms]
+        bf_inv = self._forms_to_bform(inv, batch)
+        bf_c2 = self._forms_to_bform([ct.c2 for ct in cts], batch)
+        fm = self._add_kernel(batch)(bf_c2, bf_inv)
+        forms = bform_to_forms(self._fetch(fm))[:n]
+        return [self.hsm.dlog_in_F(f) for f in forms]
+
     def decrypt_batch(self, sk: int, cts):
         """m = dlog(c2 * (c1^sk)^-1): batched shared-exponent pow + batched
         compose, then the O(1) host dlog per element."""
@@ -411,6 +476,10 @@ class JaxEngine:
         for idx in range(m * p):
             recoded[idx] = signed_windows(int(s_tensor.data[idx]), YAO_W,
                                           nwind)
+        dp, tp = self._mesh_dims()
+        if dp * tp > 1 and (2 * n) % dp == 0 and m % tp == 0:
+            return self._scal_matmul_sharded(recoded, ct_tensor, zero_ct,
+                                             n, m, p, nwind, dp, tp)
         out_forms: list = [None] * (2 * n * p)
         for start in range(0, n, chunk):
             rows = list(range(start, min(start + chunk, n)))
@@ -424,6 +493,51 @@ class JaxEngine:
                     out_forms[n * p + i * p + kk] = cts_out[ri * p + kk][1]
         cts = [CipherText(out_forms[i], out_forms[n * p + i])
                for i in range(n * p)]
+        return Tensor(cts, (n, p))
+
+    def _scal_matmul_sharded(self, recoded, ct_tensor, zero_ct,
+                             n: int, m: int, p: int, nwind: int,
+                             dp: int, tp: int):
+        """All-rows matmul over the mesh: ct rows dp-sharded, contraction
+        axis tp-sharded (reference semantics:
+        cpu_cryptosystem_tensor_ops.inl:403-417 row sums; OpenMP loops
+        openmp.hpp:4-11). One jit; collectives ride the mesh."""
+        from ..tensor import Tensor
+
+        rows2_loc = 2 * n // dp
+        m_loc = m // tp
+        plan, fn = self._matmul_kernel_sharded(rows2_loc, m_loc, p, nwind)
+        cells = [ct_tensor.at(i, j) for i in range(n) for j in range(m)]
+        bf_all = bform_from_forms(
+            [ct.c1 for ct in cells] + [ct.c2 for ct in cells], self.L)
+        # shard (d, t): hi in d-block, j in t-block
+        hi_g = np.arange(2 * n).reshape(dp, rows2_loc)
+        j_g = np.arange(m).reshape(tp, m_loc)
+        idx = (hi_g[:, None, :, None] * m
+               + j_g[None, :, None, :]).reshape(dp, tp, rows2_loc * m_loc)
+        cells_g = BForm(np.asarray(bf_all.a)[idx],
+                        np.asarray(bf_all.b_sign)[idx],
+                        np.asarray(bf_all.b)[idx],
+                        np.asarray(bf_all.c)[idx])
+        bf_zero = bform_from_forms(
+            [zero_ct.c1] * (n * p) + [zero_ct.c2] * (n * p), self.L)
+        zero_g = BForm(*(np.asarray(x).reshape((dp, rows2_loc * p)
+                                               + x.shape[1:])
+                         for x in bf_zero))
+        # digits depend only on (j, kk): same jobs for every dp shard
+        rec3 = recoded.reshape(m, p, nwind)
+        jobs_t = []
+        for t in range(tp):
+            digits_t = np.ascontiguousarray(
+                np.tile(rec3[t * m_loc:(t + 1) * m_loc].reshape(
+                    m_loc * p, nwind).T, (1, rows2_loc)))
+            jobs_t.append(plan.jobs_b(digits_t))
+        jobs_g = np.stack([np.stack(jobs_t)] * dp)
+        out = fn(cells_g, zero_g, jnp.asarray(jobs_g))
+        flat = BForm(*(np.asarray(x).reshape((2 * n * p,) + x.shape[2:])
+                       for x in self._fetch(out)))
+        forms = bform_to_forms(flat)
+        cts = [CipherText(forms[i], forms[n * p + i]) for i in range(n * p)]
         return Tensor(cts, (n, p))
 
     def _scal_matmul_rows(self, rows, recoded, ct_tensor, zero_ct,

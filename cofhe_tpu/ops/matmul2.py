@@ -65,21 +65,23 @@ def _tree_concat(bfs):
 
 
 class MatmulPlan:
-    """Static layout + job templates for one (nr, m, p, nwind, w) shape.
+    """Static layout + job templates for one (rows2, m, p, nwind, w) shape.
+    `rows2` counts the stacked (c1, c2) ciphertext rows — 2*nr on a single
+    device, 2*nr/dp per shard under a dp mesh split.
 
     Pool-B row map: [0]=identity  [1]=scatter dump  [CH:]=doubling-chain
     stack (nwind x Bb)  [BK:]=bank (S x B).
-    Pool-C row map: [0]=identity  [1]=dump  [ZO:]=Enc(0) rows (2*nr*p)
+    Pool-C row map: [0]=identity  [1]=dump  [ZO:]=Enc(0) rows (rows2*p)
     [SB:]=contracted bank slots 1..S-1  [T:], [R:]=finalization state.
     """
 
-    def __init__(self, nr: int, m: int, p: int, nwind: int, w: int):
-        self.nr, self.m, self.p, self.nwind, self.w = nr, m, p, nwind, w
+    def __init__(self, rows2: int, m: int, p: int, nwind: int, w: int):
+        self.rows2, self.m, self.p, self.nwind, self.w = rows2, m, p, nwind, w
         self.half = 1 << (w - 1)
         self.S = self.half + 1
-        self.Bb = 2 * nr * m
-        self.B = 2 * nr * m * p
-        self.Bo = 2 * nr * p
+        self.Bb = rows2 * m
+        self.B = rows2 * m * p
+        self.Bo = rows2 * p
         B, Bb, S = self.B, self.Bb, self.S
         self.CH = 2
         self.BK = self.CH + nwind * Bb
@@ -92,7 +94,7 @@ class MatmulPlan:
 
         # ---- static scan-B contraction steps: per-slot binary tree over j
         steps = []
-        hi = np.arange(2 * nr, dtype=np.int32)
+        hi = np.arange(rows2, dtype=np.int32)
         kk = np.arange(p, dtype=np.int32)
         v = np.arange(1, S, dtype=np.int32)
         l = 0
@@ -183,25 +185,11 @@ class MatmulPlan:
 
 
 @functools.lru_cache(maxsize=16)
-def get_plan(nr: int, m: int, p: int, nwind: int, w: int) -> MatmulPlan:
-    return MatmulPlan(nr, m, p, nwind, w)
+def get_plan(rows2: int, m: int, p: int, nwind: int, w: int) -> MatmulPlan:
+    return MatmulPlan(rows2, m, p, nwind, w)
 
 
-def make_matmul_fn(cg: CG, plan: MatmulPlan):
-    """Returns fn(bf_cells, bf_zero, jobs_b) -> BForm of 2*nr*p result rows
-    (order [c1 x nr*p, c2 x nr*p]).
-
-    bf_cells: (Bb,) stacked [c1 of cell(i,j)..., c2...] reduced forms.
-    bf_zero:  (2*nr*p,) Enc(0) rows [c1..., c2...].
-    jobs_b:   (nsteps, 4, B) int32 from plan.jobs_b(digits).
-    """
-    nwind, w, Bb = plan.nwind, plan.w, plan.Bb
-    S, B = plan.S, plan.B
-
-    fin_jobs = jnp.asarray(plan.fin_jobs)
-    sb_rows = jnp.asarray(plan.sb_rows)
-    out_rows = jnp.asarray(plan.out_rows)
-
+def _make_step(cg: CG):
     def step(pool, job):
         ia, ib, nb, io = job[0], job[1], job[2], job[3]
         A = _gather(pool, ia)
@@ -209,7 +197,22 @@ def make_matmul_fn(cg: CG, plan: MatmulPlan):
         Bv = bform_select(nb.astype(bool), bform_neg(Bv), Bv)
         return _scatter(pool, io, cg.compose2(A, Bv)), None
 
-    def fn(bf_cells, bf_zero, jobs_b):
+    return step
+
+
+def make_phase1(cg: CG, plan: MatmulPlan):
+    """cells -> contracted bank. Returns fn(bf_cells, jobs_b) -> BForm of
+    (S-1)*Bo rows: slot-major contracted bank, slot v's Bo rows holding
+    prod_j bank[(hi,j,kk)][v] at lane (hi, kk).
+
+    bf_cells: (Bb,) stacked [c1 of cell(hi=0..rows2/2-1, j)..., c2...].
+    jobs_b:   (nsteps, 4, B) int32 from plan.jobs_b(digits).
+    """
+    nwind, w, Bb, S, B = plan.nwind, plan.w, plan.Bb, plan.S, plan.B
+    sb_rows = jnp.asarray(plan.sb_rows)
+    step = _make_step(cg)
+
+    def fn(bf_cells, jobs_b):
         # scan A: doubling-chain stack (collect pre-square state each step,
         # keep every w-th)
         _, stack = jax.lax.scan(
@@ -223,12 +226,35 @@ def make_matmul_fn(cg: CG, plan: MatmulPlan):
         bank0 = identity_bform2(cg, S * B)
         pool = _tree_concat([head, chain, bank0])
         pool, _ = jax.lax.scan(step, pool, jobs_b)
+        return _gather(pool, sb_rows)
 
-        # pool C: [identity, dump, Enc(0) rows, contracted bank, T, R]
+    return fn
+
+
+def make_phase2(cg: CG, plan: MatmulPlan):
+    """Contracted bank -> result: Yao finalization + Enc(0) fold.
+    fn(bf_smallbank, bf_zero) -> BForm of Bo rows [c1 x Bo/2, c2 x Bo/2]."""
+    fin_jobs = jnp.asarray(plan.fin_jobs)
+    out_rows = jnp.asarray(plan.out_rows)
+    step = _make_step(cg)
+
+    def fn(bf_smallbank, bf_zero):
         headc = identity_bform2(cg, 2)
         tr0 = identity_bform2(cg, 2 * plan.Bo)
-        poolc = _tree_concat([headc, bf_zero, _gather(pool, sb_rows), tr0])
+        poolc = _tree_concat([headc, bf_zero, bf_smallbank, tr0])
         poolc, _ = jax.lax.scan(step, poolc, fin_jobs)
         return _gather(poolc, out_rows)
+
+    return fn
+
+
+def make_matmul_fn(cg: CG, plan: MatmulPlan):
+    """Single-device fused matmul: phase1 then phase2 in one graph.
+    fn(bf_cells, bf_zero, jobs_b) -> BForm of Bo result rows."""
+    p1 = make_phase1(cg, plan)
+    p2 = make_phase2(cg, plan)
+
+    def fn(bf_cells, bf_zero, jobs_b):
+        return p2(p1(bf_cells, jobs_b), bf_zero)
 
     return fn

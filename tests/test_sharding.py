@@ -1,101 +1,132 @@
-"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the sharded
-matmul step (tp-sharded contraction + all_gather combine) and the threshold
-combine collective must match the host oracle."""
+"""Multi-chip sharding on the virtual 8-device CPU mesh, v2 kernel stack:
+the dp x tp sharded fused matmul through the PRODUCTION engine API, the
+threshold-combine collective, and the masked scan composition tree — all
+bit-exact vs the host oracle. (Fast tier: toy params, tiny shapes.)"""
 
 import random
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cofhe_tpu.core.qfi import Form, compose, neg, nupow, reduce_form
-from cofhe_tpu.ops import limb as lb
-from cofhe_tpu.ops.forms import FormSpec, bform_from_forms, bform_to_forms
+from cofhe_tpu.core.qfi import compose, neg, reduce_form
+from cofhe_tpu.ops.forms import BForm, bform_from_forms, bform_to_forms
 from cofhe_tpu.parallel import sharded
+from cofhe_tpu.tensor import Tensor
 
 random.seed(17)
-
-
-@pytest.fixture(scope="module")
-def setup(toy_hsm):
-    hsm = toy_hsm
-    disc_bits = (-hsm.Delta).bit_length()
-    spec = FormSpec.for_disc_bits(disc_bits)
-    delta4 = lb.ints_to_limbs([(-hsm.Delta) // 4], 2 * spec.L)[0]  # np constant
-    return hsm, spec, delta4
 
 
 def test_devices_available():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.slow
-def test_sharded_matmul_step(setup):
-    hsm, spec, delta4 = setup
-    mesh = sharded.make_mesh(dp=1, tp=4)
-    n, m, p = 1, 4, 1
-    exp_bits = 16
+def test_scan_tree_compose(toy_cs):
+    """Odd-width stack (exercises identity padding) vs sequential oracle."""
+    hsm = toy_cs.hsm2k
     from cofhe_tpu.core.rng import RandGen
+    from cofhe_tpu.ops.engine import JaxEngine
 
-    rng = RandGen(b"shard-test")
-    base = hsm.power_of_h(rng.random_mpz(1 << 24))
-    cts = [nupow(base, 2 * i + 3) for i in range(n * m)]  # one "row" of c1 forms
-    # treat the same forms as both c1 and c2 halves (cells = 2*n*p)
-    exps = [random.randrange(1 << exp_bits) for _ in range(m)]
-    # layout: flat = j * (2*n*p) + cell ; cells = 2 (c1-half, c2-half)
-    cells = 2 * n * p
-    flat_forms = []
-    flat_exps = []
-    for j in range(m):
-        for cell in range(cells):
-            flat_forms.append(cts[j])
-            flat_exps.append(exps[j])
-    bf = bform_from_forms(flat_forms, spec.L)
-    Lk = (exp_bits + 15) // 16
-    e = jnp.asarray(lb.ints_to_limbs(flat_exps, Lk))
-    step = sharded.sharded_scal_matmul_step(mesh, spec, delta4, exp_bits, n, m, p)
-    out = step(bf, e)
+    eng = JaxEngine(hsm)
+    rng = RandGen(b"tree-test")
+    t, rows = 3, 2
+    forms = [[hsm.power_of_h(rng.random_mpz(1 << 24)) for _ in range(rows)]
+             for _ in range(t)]
+    stacks = [bform_from_forms(f, eng.L) for f in forms]
+    import jax.numpy as jnp
+
+    stacked = BForm(*(jnp.stack([np.asarray(getattr(s, f)) for s in stacks])
+                      for f in ("a", "b_sign", "b", "c")))
+    out = jax.jit(lambda s: sharded._scan_tree_compose(eng.cg, s, t))(stacked)
     got = bform_to_forms(jax.tree.map(np.asarray, out))
-    # oracle: prod_j cts[j]^exps[j]
-    expect = None
-    for j in range(m):
-        t = nupow(cts[j], exps[j])
-        expect = t if expect is None else compose(expect, t)
-    assert got[0] == expect
-    assert got[1] == expect
+    for r in range(rows):
+        expect = forms[0][r]
+        for i in range(1, t):
+            expect = compose(expect, forms[i][r])
+        assert got[r] == expect, r
 
 
-@pytest.mark.slow
-def test_sharded_threshold_combine(setup):
-    hsm, spec, delta4 = setup
-    t = 2
-    mesh = sharded.make_mesh(dp=1, tp=t)
-    from cofhe_tpu.core.rng import RandGen
+@pytest.fixture(scope="module")
+def mesh_cs(toy_cs):
+    """CryptoSystem on a dp=2 x tp=2 mesh (4 of the 8 virtual devices)."""
+    from cofhe_tpu.api import CryptoSystem
+    from conftest import toy_prime
+
+    mesh = sharded.make_mesh(devices=jax.devices()[:4], dp=2, tp=2)
+    cs = CryptoSystem(128, 32, p=toy_prime(100), seed=b"shard-seed",
+                      device="tpu", mesh=mesh)
+    sk = cs.keygen()
+    pk = cs.keygen(sk)
+    return cs, sk, pk
+
+
+def test_sharded_matmul_through_engine(mesh_cs):
+    """scal_ciphertext_tensors on the mesh: ct rows dp-sharded, contraction
+    tp-sharded, one jit; decrypts to the plaintext matmul."""
+    cs, sk, pk = mesh_cs
+    M = cs.hsm2k.M
+    n, m, p = 2, 4, 2            # 2n % dp == 0, m % tp == 0
+    ctv = [random.randrange(1000) for _ in range(n * m)]
+    sv = [random.randrange(1000) for _ in range(m * p)]
+    ct = cs.encrypt_tensor(pk, Tensor(ctv, (n, m)))
+    res = cs.scal_ciphertext_tensors(pk, Tensor(sv, (m, p)), ct)
+    dec = cs.decrypt_tensor(sk, res)
+    for i in range(n):
+        for kk in range(p):
+            expect = sum(ctv[i * m + j] * sv[j * p + kk]
+                         for j in range(m)) % M
+            assert dec.at(i, kk) == expect, (i, kk)
+
+
+def test_sharded_threshold_combine(toy_cs):
+    """combine_batch with mesh tp == t: one device per party's shares,
+    all_gather + masked-inverse tree; full decrypt matches."""
+    from cofhe_tpu.api import CryptoSystem
     from cofhe_tpu.core import liss
+    from cofhe_tpu.ops.engine import JaxEngine
+    from conftest import toy_prime
+
+    t = 2
+    mesh = sharded.make_mesh(devices=jax.devices()[:t], dp=1, tp=t)
+    hsm = toy_cs.hsm2k
+    eng = JaxEngine(hsm, mesh=mesh)
+    from cofhe_tpu.core.rng import RandGen
 
     rng = RandGen(b"thresh-shard")
     sk = hsm.keygen(rng)
     pk = hsm.pk_from_sk(sk)
-    m_vals = [random.randrange(hsm.M) for _ in range(2)]
+    m_vals = [random.randrange(hsm.M) for _ in range(3)]
     cts = [hsm.encrypt(pk, v, rng) for v in m_vals]
     shares = liss.share_secret(sk, 3, t, hsm.encrypt_randomness_bound(), rng)
     combo = (0, 1)
-    sh = [shares[pm][liss.share_index_for_party(pm, combo, 3)] for pm in combo]
-    # device i computes d_i = c1^s_i (host here; the collective combine is
-    # what's under test) — stacked share-major
-    ds = []
-    for si in sh:
-        for ct in cts:
-            ds.append(hsm.part_decrypt(ct, si))
-    bf = bform_from_forms(ds, spec.L)
-    combine = sharded.sharded_threshold_combine(mesh, spec, delta4)
-    out = combine(bf)
-    got = bform_to_forms(jax.tree.map(np.asarray, out))
+    sh = [shares[pm][liss.share_index_for_party(pm, combo, 3)]
+          for pm in combo]
+    pdrs = [[hsm.part_decrypt(ct, si) for ct in cts] for si in sh]
+    got = eng.combine_batch(cts, pdrs)
+    assert got == m_vals
+    # engine-level result equals the host final_decrypt oracle
     for i, ct in enumerate(cts):
-        d_oracle = hsm.part_decrypt(ct, sh[0])
-        d_oracle = compose(d_oracle, reduce_form(neg(hsm.part_decrypt(ct, sh[1]))))
-        assert got[i] == d_oracle
-        # full decrypt via the collective's output
-        fm = compose(ct.c2, neg(got[i]))
-        assert hsm.dlog_in_F(reduce_form(fm)) == m_vals[i]
+        assert hsm.final_decrypt(ct, [p[i] for p in pdrs]) == m_vals[i]
+
+
+def test_local_combine_batch(toy_cs):
+    """combine_batch without a mesh (local scan tree), t=3 odd."""
+    from cofhe_tpu.core import liss
+    from cofhe_tpu.ops.engine import JaxEngine
+    from cofhe_tpu.core.rng import RandGen
+
+    hsm = toy_cs.hsm2k
+    eng = JaxEngine(hsm)
+    rng = RandGen(b"thresh-local")
+    sk = hsm.keygen(rng)
+    pk = hsm.pk_from_sk(sk)
+    m_vals = [random.randrange(hsm.M) for _ in range(2)]
+    cts = [hsm.encrypt(pk, v, rng) for v in m_vals]
+    t, np_ = 3, 4
+    shares = liss.share_secret(sk, np_, t, hsm.encrypt_randomness_bound(),
+                               rng)
+    combo = (0, 2, 3)
+    sh = [shares[pm][liss.share_index_for_party(pm, combo, np_)]
+          for pm in combo]
+    pdrs = [[hsm.part_decrypt(ct, si) for ct in cts] for si in sh]
+    assert eng.combine_batch(cts, pdrs) == m_vals
