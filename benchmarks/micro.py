@@ -109,9 +109,15 @@ def main():
         disc_bits = (-hsm.Delta).bit_length()
         L, _ = CGCtx.widths_for_disc_bits(disc_bits)
         d4 = lb.ints_to_limbs([(-hsm.Delta) // 4], 2 * L)[0]
-        h_bf = bform_from_forms([hsm.h], L)
-        cg = CG(disc_bits, d4, (np.asarray(h_bf.a[0]), np.asarray(h_bf.b_sign[0]),
-                                np.asarray(h_bf.b[0]), np.asarray(h_bf.c[0])))
+        from cofhe_tpu.core.qfi import nudupl as _qnudupl
+
+        h_bf = bform_from_forms([hsm.h, _qnudupl(hsm.h)], L)
+
+        def _row(i):
+            return (np.asarray(h_bf.a[i]), np.asarray(h_bf.b_sign[i]),
+                    np.asarray(h_bf.b[i]), np.asarray(h_bf.c[i]))
+
+        cg = CG(disc_bits, d4, _row(0), _row(1))
         b1 = bform_from_forms(forms1, L)
         b2 = bform_from_forms(forms2, L)
         if "compose2" in what:

@@ -67,10 +67,16 @@ class JaxEngine:
         # numpy (not device) constants: closure-captured device arrays can
         # deadlock during lowering (observed on jax 0.9 cpu)
         delta4 = lb.ints_to_limbs([(-hsm2k.Delta) // 4], 2 * L)[0]
-        h_bf = bform_from_forms([hsm2k.h], L)
-        self.cg = CG(disc_bits, delta4,
-                     (np.asarray(h_bf.a[0]), np.asarray(h_bf.b_sign[0]),
-                      np.asarray(h_bf.b[0]), np.asarray(h_bf.c[0])))
+        from ..core.qfi import nudupl as _qnudupl
+
+        h2_form = _qnudupl(hsm2k.h)
+        h_bf = bform_from_forms([hsm2k.h, h2_form], L)
+
+        def _row(i):
+            return (np.asarray(h_bf.a[i]), np.asarray(h_bf.b_sign[i]),
+                    np.asarray(h_bf.b[i]), np.asarray(h_bf.c[i]))
+
+        self.cg = CG(disc_bits, delta4, _row(0), _row(1))
         self._identity_form = hsm2k.identity
 
     # ------------------------------------------------------------- transport

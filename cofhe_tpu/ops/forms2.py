@@ -62,23 +62,37 @@ class CGCtx:
 
 class CG:
     """Per-discriminant kernel family. Holds the device constants (delta/4,
-    the substitute form h) so the jitted functions close over numpy arrays
-    only (device-array closures can deadlock lowering on some backends)."""
+    the substitute forms h, h2) so the jitted functions close over numpy
+    arrays only (device-array closures can deadlock lowering on some
+    backends)."""
 
-    def __init__(self, disc_bits: int, delta4_L2: np.ndarray, h_forms):
+    def __init__(self, disc_bits: int, delta4_L2: np.ndarray, h_forms,
+                 h2_forms=None):
         self.disc_bits = disc_bits
         L, Lh = CGCtx.widths_for_disc_bits(disc_bits)
         self.L = L
         self.Lh = Lh
         self.L2 = 2 * L
         self.delta4 = np.asarray(delta4_L2)  # (2L,) magnitude of |Delta|/4
-        # substitute form for identity fast path: any fixed reduced
-        # non-identity form of the discriminant (h from the cryptosystem)
+        # substitute forms for the identity fast path: TWO DIFFERENT fixed
+        # reduced non-identity forms (h and h^2 from the cryptosystem).
+        # Substituting the same form on both sides makes identity lanes
+        # SELF-composes, whose first gcd d1 = gcd(a, a) = a is ~disc/2 bits
+        # and drags the whole batch onto the full-width rare path of the
+        # second-gcd block — measured 10x on the ladder, where early
+        # windows are mostly identity bank lanes.
         a, bs, b, c = h_forms
         self.h_a = np.asarray(a)
         self.h_bs = np.asarray(bs)
         self.h_b = np.asarray(b)
         self.h_c = np.asarray(c)
+        if h2_forms is None:
+            h2_forms = h_forms  # legacy callers; self-compose slow path
+        a2_, bs2, b2_, c2_ = h2_forms
+        self.h2_a = np.asarray(a2_)
+        self.h2_bs = np.asarray(bs2)
+        self.h2_b = np.asarray(b2_)
+        self.h2_c = np.asarray(c2_)
         self.xgcd_nbits = disc_bits + 32
         self.mu_iters = (2 * 16 * L) // 13 + 24
         self.red_iters = (2 * disc_bits) // 13 + 96
@@ -90,6 +104,10 @@ class CG:
     def _h_bform(self):
         return BForm(jnp.asarray(self.h_a), jnp.asarray(self.h_bs),
                      jnp.asarray(self.h_b), jnp.asarray(self.h_c))
+
+    def _h2_bform(self):
+        return BForm(jnp.asarray(self.h2_a), jnp.asarray(self.h2_bs),
+                     jnp.asarray(self.h2_b), jnp.asarray(self.h2_c))
 
     # ------------------------------------------------------------- reduce
     def reduce2(self, a_red, b_red, c_red):
@@ -170,17 +188,23 @@ class CG:
         L, Lh, L2 = self.L, self.Lh, self.L2
         delta4 = jnp.asarray(self.delta4)
 
-        # identity fast path
+        # identity fast path: substitute DIFFERENT fixed forms on each side
+        # (h, h^2) so identity lanes never become self-composes (see ctor)
         id1 = self._is_one(F1.a)
         id2 = self._is_one(F2.a)
         some_id = id1 | id2
         h = self._h_bform()
+        h2 = self._h2_bform()
         hb = BForm(jnp.broadcast_to(h.a, F1.a.shape),
                    jnp.broadcast_to(h.b_sign, F1.b_sign.shape),
                    jnp.broadcast_to(h.b, F1.b.shape),
                    jnp.broadcast_to(h.c, F1.c.shape))
+        h2b = BForm(jnp.broadcast_to(h2.a, F2.a.shape),
+                    jnp.broadcast_to(h2.b_sign, F2.b_sign.shape),
+                    jnp.broadcast_to(h2.b, F2.b.shape),
+                    jnp.broadcast_to(h2.c, F2.c.shape))
         F1b = bform_select(some_id, hb, F1)
-        F2b = bform_select(some_id, hb, F2)
+        F2b = bform_select(some_id, h2b, F2)
 
         # order so a1 <= a2, rotate F2 odd (then a1 * a2_rot <= ~|Delta|)
         swap = lb.mag_cmp(F1b.a, F2b.a) > 0
