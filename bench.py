@@ -75,8 +75,19 @@ def main():
     # init (measured ~2 min on a cold axon tunnel; seconds when warm). Do it
     # HERE, single-threaded, so later stages are pure compute. Concurrent
     # first-fetches from two threads can deadlock the tunnel — never warm
-    # in a background thread.
-    np.asarray(jnp.arange(1))
+    # in a background thread. A TPU worker that is still restarting from an
+    # earlier fault raises FAILED_PRECONDITION/UNAVAILABLE for a while —
+    # retry with backoff instead of losing the round's number.
+    for attempt in range(6):
+        try:
+            np.asarray(jnp.arange(1))
+            break
+        except Exception as e:
+            note(f"warm fetch attempt {attempt} failed ({type(e).__name__}); "
+                 f"retrying in 60s")
+            time.sleep(60)
+    else:
+        raise RuntimeError("TPU backend unavailable after retries")
     note("first-fetch warm done")
 
     from cofhe_tpu.api import CryptoSystem

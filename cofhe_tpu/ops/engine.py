@@ -76,7 +76,15 @@ class JaxEngine:
             return (np.asarray(h_bf.a[i]), np.asarray(h_bf.b_sign[i]),
                     np.asarray(h_bf.b[i]), np.asarray(h_bf.c[i]))
 
-        self.cg = CG(disc_bits, delta4, _row(0), _row(1))
+        # Pallas kernels on TPU-like backends (COFHE_PALLAS=0/1 overrides)
+        from .pallas_group import env_enabled
+
+        try:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        self.cg = CG(disc_bits, delta4, _row(0), _row(1),
+                     use_pallas=env_enabled(on_tpu))
         self._identity_form = hsm2k.identity
 
     # ------------------------------------------------------------- transport
@@ -206,12 +214,16 @@ class JaxEngine:
     def _matmul_kernel2(self, nr: int, m: int, p: int, nwind: int):
         """Pool-machine fused matmul (ops/matmul2.py): 3 compose instances
         driven by job-stream scans instead of the ~10-instance v2 graph.
-        Returns (plan, jitted fn(bf_cells, bf_zero, jobs_b))."""
-        from .matmul2 import get_plan, make_matmul_fn
+        Returns (plan, jitted phase1, jitted phase2). The two phases are
+        SEPARATE jits on purpose: compiling them as one graph has crashed
+        the TPU runtime's compile worker (compile-memory), while the split
+        compiles reliably and only moves a (S-1)*Bo-row bank handle between
+        executables (stays on device)."""
+        from .matmul2 import get_plan, make_phase1, make_phase2
 
         plan = get_plan(2 * nr, m, p, nwind, YAO_W)
-        fn = make_matmul_fn(self.cg, plan)
-        return plan, jax.jit(fn)
+        return (plan, jax.jit(make_phase1(self.cg, plan)),
+                jax.jit(make_phase2(self.cg, plan)))
 
     @functools.lru_cache(maxsize=32)
     def _matmul_kernel(self, n: int, m: int, p: int, nwind: int):
@@ -465,8 +477,10 @@ class JaxEngine:
         env = os.environ.get("COFHE_MATMUL_CHUNK_ROWS")
         if env:
             return max(1, int(env))
-        # target <= ~16k exponent rows per call (2 * rows * m * p)
-        rows = max(1, 8192 // max(1, m * p))
+        # target <= ~8k exponent rows per call (2 * rows * m * p): the
+        # largest batch validated stable through the TPU runtime; larger
+        # pools amortize better but have crashed the remote worker
+        rows = max(1, 4096 // max(1, m * p))
         return rows
 
     def scal_matmul(self, s_tensor, ct_tensor, zero_ct: CipherText):
@@ -553,7 +567,7 @@ class JaxEngine:
         scalar matrix (from scal_matmul; row-major (j, kk))."""
         nr = len(rows)
         nwind = recoded.shape[1]
-        plan, kern = self._matmul_kernel2(nr, m, p, nwind)
+        plan, p1, p2 = self._matmul_kernel2(nr, m, p, nwind)
         cells = [ct_tensor.at(i, j) for i in rows for j in range(m)]
         bf_cells = bform_from_forms(
             [ct.c1 for ct in cells] + [ct.c2 for ct in cells], self.L)
@@ -563,6 +577,7 @@ class JaxEngine:
         bf_zero = bform_from_forms(
             [zero_ct.c1] * (nr * p) + [zero_ct.c2] * (nr * p), self.L)
         jobs = plan.jobs_b(digits)
-        final = kern(bf_cells, bf_zero, jnp.asarray(jobs))
+        smallbank = p1(bf_cells, jnp.asarray(jobs))
+        final = p2(smallbank, bf_zero)
         forms = bform_to_forms(self._fetch(final))
         return [(forms[i], forms[nr * p + i]) for i in range(nr * p)]

@@ -67,7 +67,8 @@ class CG:
     backends)."""
 
     def __init__(self, disc_bits: int, delta4_L2: np.ndarray, h_forms,
-                 h2_forms=None):
+                 h2_forms=None, use_pallas: bool = False):
+        self.use_pallas = use_pallas
         self.disc_bits = disc_bits
         L, Lh = CGCtx.widths_for_disc_bits(disc_bits)
         self.L = L
@@ -221,8 +222,15 @@ class CG:
         sm = lb.mag_shr_bits(sm, 1)
         dds, ddm = lb.sm_sub((b2s, b2h), (b1s, b1h))
 
-        # xgcd 1: d1 = gcd(a2, a1), beta = a1-coefficient mod a2
-        d1, beta = xgcd_coeff_g(a2, a1, a2, self.xgcd_nbits)
+        # xgcd 1: d1 = gcd(a2, a1), beta = a1-coefficient mod a2 — the
+        # dominant loop; VMEM-resident Pallas kernel on TPU
+        if self.use_pallas:
+            from . import pallas_group
+
+            d1, beta = pallas_group.xgcd_coeff_g(a2, a1, a2,
+                                                 self.xgcd_nbits)
+        else:
+            d1, beta = xgcd_coeff_g(a2, a1, a2, self.xgcd_nbits)
 
         # ---- second gcd block: g = gcd(d1, |s|), eta0 in [0, d1) with
         # eta0 * |s| ≡ g (mod d1)

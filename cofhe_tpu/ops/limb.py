@@ -227,14 +227,16 @@ def sm_cmp(a, b):
 
 def mag_cmp(ma, mb):
     """Lexicographic magnitude compare -> (...,) int32 in {-1, 0, 1}.
-    Log-depth: find the highest differing limb with a max-reduction instead
-    of an O(L) sequential scan (this runs inside hot loop conditions)."""
+    Log-depth and GATHER-FREE (runs inside hot loop conditions and inside
+    Pallas kernels): encode (limb index, diff sign) into one int and
+    max-reduce — the highest differing limb dominates, its low bit is the
+    sign."""
     L = max(ma.shape[-1], mb.shape[-1])
     d = resize(ma, L) - resize(mb, L)
     idx = jnp.arange(L, dtype=jnp.int32)
-    pos = jnp.max(jnp.where(d != 0, idx, -1), axis=-1)  # highest differing limb
-    top = jnp.take_along_axis(d, jnp.clip(pos, 0, L - 1)[..., None], axis=-1)[..., 0]
-    return jnp.where(pos < 0, 0, jnp.sign(top))
+    enc = jnp.where(d != 0, 2 * idx + (d > 0), -1)
+    best = jnp.max(enc, axis=-1)
+    return jnp.where(best < 0, 0, jnp.where((best & 1) == 1, 1, -1))
 
 
 # ---------------------------------------------------------------------------

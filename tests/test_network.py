@@ -163,3 +163,68 @@ def test_tensor_ct_ct_beaver_matmul(network):
     want = [[sum(xs[i][j] * ys[j][k] for j in range(2)) for k in range(2)] for i in range(2)]
     got = [[cs.get_float_from_plaintext(out.at(i, k)) for k in range(2)] for i in range(2)]
     assert got == want
+
+
+def test_tls_end_to_end(toy_hsm, tmp_path):
+    """A setup + CoFHE + compute trio over REAL TLS (self-signed cert,
+    client verify_none like the reference, server.hpp:163-168 /
+    client.hpp:30-36): join, topology fetch, homomorphic add, threshold
+    decrypt — all over encrypted sockets."""
+    from cofhe_tpu.node.server import generate_self_signed_cert
+
+    os.environ["COFHE_P_OVERRIDE"] = hex(toy_hsm.p)
+    from cofhe_tpu.core import cl_hsm2k
+
+    cl_hsm2k._cached_params.cache_clear()
+    cert = str(tmp_path / "server.pem")
+    key = str(tmp_path / "server_key.pem")
+    generate_self_signed_cert(cert, key)
+    from cofhe_tpu.node.nodes import (ClientNode, make_cofhe_node,
+                                      make_compute_node, make_setup_node)
+
+    ports = [free_port() for _ in range(5)]
+    setup_nd = NodeDetails("127.0.0.1", str(ports[0]), NodeType.SETUP_NODE)
+    cs_details = CryptoSystemDetails(type="CoFHE_TPU", public_key="",
+                                     security_level=128, k=32, threshold=2,
+                                     total_nodes=3)
+    servers = []
+    try:
+        setup_server, setup_handler = make_setup_node(
+            setup_nd, cs_details, certfile=cert, keyfile=key)
+        setup_server.run_in_thread()
+        servers.append(setup_server)
+        for i in range(1, 4):
+            nd = NodeDetails("127.0.0.1", str(ports[i]), NodeType.COFHE_NODE)
+            s = make_cofhe_node(nd, setup_nd, certfile=cert, keyfile=key)
+            s.run_in_thread()
+            servers.append(s)
+        comp_nd = NodeDetails("127.0.0.1", str(ports[4]), NodeType.COMPUTE_NODE)
+        s = make_compute_node(comp_nd, setup_nd, certfile=cert, keyfile=key)
+        s.run_in_thread()
+        servers.append(s)
+        client = ClientNode(setup_nd, use_tls=True)
+        cs, pk = client.crypto_system, client.public_key
+        ct1 = cs.encrypt(pk, cs.make_plaintext(4.0))
+        ct2 = cs.encrypt(pk, cs.make_plaintext(5.0))
+        resp = client.compute(wire.ComputeRequest(
+            wire.ComputeOperationType.BINARY, wire.ComputeOperation.ADD,
+            [_op(wire.DataType.SINGLE, wire.DataEncryptionType.CIPHERTEXT,
+                 cs.serialize_ciphertext(ct1).encode()),
+             _op(wire.DataType.SINGLE, wire.DataEncryptionType.CIPHERTEXT,
+                 cs.serialize_ciphertext(ct2).encode())]))
+        assert resp.status == wire.Status.OK
+        ct_sum = cs.deserialize_ciphertext(resp.data.decode())
+        dec = client.compute(wire.ComputeRequest(
+            wire.ComputeOperationType.UNARY, wire.ComputeOperation.DECRYPT,
+            [_op(wire.DataType.SINGLE, wire.DataEncryptionType.CIPHERTEXT,
+                 cs.serialize_ciphertext(ct_sum).encode())]))
+        assert dec.status == wire.Status.OK
+        value = cs.get_float_from_plaintext(
+            cs.deserialize_plaintext(dec.data.decode()))
+        assert value == 9.0
+        client.close()
+    finally:
+        for s in servers:
+            s.stop()
+        del os.environ["COFHE_P_OVERRIDE"]
+        cl_hsm2k._cached_params.cache_clear()
