@@ -168,8 +168,24 @@ def main():
     recoded = np.zeros((m * p, nwind), dtype=np.int32)
     for idx in range(m * p):
         recoded[idx] = signed_windows(int(s_vals[idx]), YAO_W, nwind)
+
+    def with_retries(fn, what, attempts=3):
+        # the remote compile service / TPU worker fault intermittently on
+        # big fresh compiles; a retry after recovery usually succeeds (and
+        # partial compiles land in the persistent cache)
+        for a in range(attempts):
+            try:
+                return fn()
+            except Exception as e:
+                if a == attempts - 1:
+                    raise
+                note(f"{what} attempt {a} failed ({type(e).__name__}: "
+                     f"{str(e)[:120]}); retrying in 90s")
+                time.sleep(90)
+
     t0 = time.time()
-    eng._scal_matmul_rows(rows, recoded, ct, zero, m, p)
+    with_retries(lambda: eng._scal_matmul_rows(rows, recoded, ct, zero,
+                                               m, p), "matmul chunk")
     note(f"matmul chunk ({chunk}x{m}x{p}) compile+run {time.time() - t0:.1f}s")
     t0 = time.time()
     out_rows = eng._scal_matmul_rows(rows, recoded, ct, zero, m, p)
@@ -194,9 +210,16 @@ def main():
             note(f"budget: skipping full-matmul iter {it} "
                  f"(left {left():.0f}s, est {est_full:.0f}s)")
             break
-        t0 = time.time()
-        res = cs.scal_ciphertext_tensors(pk, s_t, ct)
-        t_tot += time.time() - t0
+        try:
+            t0 = time.time()
+            res = cs.scal_ciphertext_tensors(pk, s_t, ct)
+            t_tot += time.time() - t0
+        except Exception as e:
+            # a worker fault mid-run must not lose the stage-1 number;
+            # recovery takes ~5-10 min, rarely worth the budget
+            note(f"full matmul iter {it} failed ({type(e).__name__}: "
+                 f"{str(e)[:120]}); keeping stage-1 result")
+            break
         done_iters += 1
         full_rate = ops * done_iters / t_tot
         note(f"full matmul iter {it}: {t_tot / done_iters:.1f}s "

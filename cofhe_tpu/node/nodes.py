@@ -110,7 +110,14 @@ class ClientNode:
     the first compute node (client_node.hpp:41-72)."""
 
     def __init__(self, setup_node: NodeDetails, use_tls: bool = True,
-                 device: str = "host"):
+                 device: str = "host", timeout: float | None = None):
+        # compute requests at production params can run many minutes on a
+        # small host (Beaver matmul = triplet refill + 2 threshold
+        # decrypts); COFHE_CLIENT_TIMEOUT_S overrides the 120 s default
+        import os as _os
+
+        if timeout is None:
+            timeout = float(_os.environ.get("COFHE_CLIENT_TIMEOUT_S", "120"))
         from ..api import CryptoSystem
 
         self.self_node = NodeDetails("127.0.0.1", "0", NodeType.CLIENT_NODE)
@@ -122,7 +129,8 @@ class ClientNode:
         self.crypto_system = CryptoSystem(cd.security_level, cd.k, device=device)
         self.public_key = self.crypto_system.deserialize_public_key(cd.public_key)
         ssl_ctx = make_client_ssl_context() if use_tls else None
-        self._client = Client(compute_nodes[0].ip, int(compute_nodes[0].port), ssl_ctx)
+        self._client = Client(compute_nodes[0].ip, int(compute_nodes[0].port), ssl_ctx,
+                              timeout=timeout)
 
     def compute(self, creq: wire.ComputeRequest) -> wire.ComputeResponse:
         resp = self._client.run(Request(ServiceType.COMPUTE_REQUEST, creq.to_bytes()))

@@ -214,15 +214,16 @@ class JaxEngine:
     def _matmul_kernel2(self, nr: int, m: int, p: int, nwind: int):
         """Pool-machine fused matmul (ops/matmul2.py): 3 compose instances
         driven by job-stream scans instead of the ~10-instance v2 graph.
-        Returns (plan, jitted phase1, jitted phase2). The two phases are
-        SEPARATE jits on purpose: compiling them as one graph has crashed
-        the TPU runtime's compile worker (compile-memory), while the split
-        compiles reliably and only moves a (S-1)*Bo-row bank handle between
-        executables (stays on device)."""
-        from .matmul2 import get_plan, make_phase1, make_phase2
+        Returns (plan, jitted chain, jitted ladder, jitted phase2) — one
+        compose/nudupl instance per jit ON PURPOSE: larger combined graphs
+        repeatedly crashed the TPU runtime's remote compile worker, while
+        single-instance graphs compile reliably; the inter-jit values
+        (chain stack, contracted bank) stay on device."""
+        from .matmul2 import get_plan, make_chain, make_ladder, make_phase2
 
         plan = get_plan(2 * nr, m, p, nwind, YAO_W)
-        return (plan, jax.jit(make_phase1(self.cg, plan)),
+        return (plan, jax.jit(make_chain(self.cg, plan)),
+                jax.jit(make_ladder(self.cg, plan)),
                 jax.jit(make_phase2(self.cg, plan)))
 
     @functools.lru_cache(maxsize=32)
@@ -500,20 +501,49 @@ class JaxEngine:
         if dp * tp > 1 and (2 * n) % dp == 0 and m % tp == 0:
             return self._scal_matmul_sharded(recoded, ct_tensor, zero_ct,
                                              n, m, p, nwind, dp, tp)
-        out_forms: list = [None] * (2 * n * p)
+        # Dispatch every chunk's chain+ladder ASYNC (device queue stays
+        # full while the host preps the next chunk), then run ONE batched
+        # finalization over all chunks' contracted banks and ONE fetch —
+        # per-chunk finalization at 2*nr*p lanes is latency-bound and was
+        # ~1/3 of wall-clock at the reference shape.
+        sbs = []
+        nchunks = 0
         for start in range(0, n, chunk):
             rows = list(range(start, min(start + chunk, n)))
-            pad = chunk - len(rows)
-            rows_p = rows + [rows[0]] * pad  # pad partial chunk, drop later
-            cts_out = self._scal_matmul_rows(rows_p, recoded, ct_tensor,
-                                             zero_ct, m, p)
-            for ri, i in enumerate(rows):
-                for kk in range(p):
-                    out_forms[i * p + kk] = cts_out[ri * p + kk][0]
-                    out_forms[n * p + i * p + kk] = cts_out[ri * p + kk][1]
-        cts = [CipherText(out_forms[i], out_forms[n * p + i])
-               for i in range(n * p)]
+            rows_p = rows + [rows[0]] * (chunk - len(rows))  # pad, drop later
+            sbs.append(self._scal_matmul_rows(rows_p, recoded, ct_tensor,
+                                              zero_ct, m, p,
+                                              smallbank_only=True))
+            nchunks += 1
+        S1 = (1 << (YAO_W - 1))  # S - 1 contracted slots
+        n_pad = nchunks * chunk
+        # chunk sb: ((S-1)*2*chunk*p, L...) viewed (S1, 2, chunk, p);
+        # global hi = h * n_pad + (c*chunk + i_local)
+        def to_global(xs):
+            st = jnp.stack([x.reshape((S1, 2, chunk, p) + x.shape[1:])
+                            for x in xs])           # (C, S1, 2, nr, p, ...)
+            st = jnp.moveaxis(st, 0, 3)             # (S1, 2, C, nr, p, ...)
+            return st.reshape((S1 * 2 * n_pad * p,) + st.shape[5:])
+
+        sb_full = BForm(to_global([s.a for s in sbs]),
+                        to_global([s.b_sign for s in sbs]),
+                        to_global([s.b for s in sbs]),
+                        to_global([s.c for s in sbs]))
+        p2 = self._phase2_kernel(2 * n_pad, m, p, nwind)
+        bf_zero = bform_from_forms(
+            [zero_ct.c1] * (n_pad * p) + [zero_ct.c2] * (n_pad * p), self.L)
+        final = p2(sb_full, bf_zero)
+        forms = bform_to_forms(self._fetch(final))
+        cts = [CipherText(forms[i * p + kk], forms[n_pad * p + i * p + kk])
+               for i in range(n) for kk in range(p)]
         return Tensor(cts, (n, p))
+
+    @functools.lru_cache(maxsize=16)
+    def _phase2_kernel(self, rows2: int, m: int, p: int, nwind: int):
+        from .matmul2 import get_plan, make_phase2
+
+        plan = get_plan(rows2, m, p, nwind, YAO_W)
+        return jax.jit(make_phase2(self.cg, plan))
 
     def _scal_matmul_sharded(self, recoded, ct_tensor, zero_ct,
                              n: int, m: int, p: int, nwind: int,
@@ -561,23 +591,28 @@ class JaxEngine:
         return Tensor(cts, (n, p))
 
     def _scal_matmul_rows(self, rows, recoded, ct_tensor, zero_ct,
-                          m: int, p: int):
-        """One fused-kernel call over `rows` ct rows; returns (c1, c2) pairs
-        in (row, k) order. `recoded`: (m*p, nwind) signed digits of the
-        scalar matrix (from scal_matmul; row-major (j, kk))."""
+                          m: int, p: int, smallbank_only: bool = False):
+        """One fused-kernel call over `rows` ct rows. Returns (c1, c2)
+        pairs in (row, k) order — or, with smallbank_only, the chunk's
+        contracted-bank DEVICE array (no sync; scal_matmul batches the
+        finalization across chunks). `recoded`: (m*p, nwind) signed digits
+        of the scalar matrix (row-major (j, kk))."""
         nr = len(rows)
         nwind = recoded.shape[1]
-        plan, p1, p2 = self._matmul_kernel2(nr, m, p, nwind)
+        plan, chain_k, ladder_k, p2 = self._matmul_kernel2(nr, m, p, nwind)
         cells = [ct_tensor.at(i, j) for i in rows for j in range(m)]
         bf_cells = bform_from_forms(
             [ct.c1 for ct in cells] + [ct.c2 for ct in cells], self.L)
         # digit lane r = ((hi*m + j)*p + kk) -> scalar (j*p + kk)
         digits = np.ascontiguousarray(
             np.tile(recoded.T, (1, 2 * nr)))  # (nwind, 2*nr*m*p)
+        jobs = plan.jobs_b(digits)
+        chain = chain_k(bf_cells)
+        smallbank = ladder_k(chain, jnp.asarray(jobs))
+        if smallbank_only:
+            return smallbank
         bf_zero = bform_from_forms(
             [zero_ct.c1] * (nr * p) + [zero_ct.c2] * (nr * p), self.L)
-        jobs = plan.jobs_b(digits)
-        smallbank = p1(bf_cells, jnp.asarray(jobs))
         final = p2(smallbank, bf_zero)
         forms = bform_to_forms(self._fetch(final))
         return [(forms[i], forms[nr * p + i]) for i in range(nr * p)]

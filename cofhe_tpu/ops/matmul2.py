@@ -200,33 +200,53 @@ def _make_step(cg: CG):
     return step
 
 
-def make_phase1(cg: CG, plan: MatmulPlan):
-    """cells -> contracted bank. Returns fn(bf_cells, jobs_b) -> BForm of
-    (S-1)*Bo rows: slot-major contracted bank, slot v's Bo rows holding
-    prod_j bank[(hi,j,kk)][v] at lane (hi, kk).
+def make_chain(cg: CG, plan: MatmulPlan):
+    """cells -> doubling-chain stack (nwind * Bb rows): chain_t = cells ^
+    (2^(w t)), collected by a single-nudupl-instance scan."""
+    nwind, w, Bb = plan.nwind, plan.w, plan.Bb
 
-    bf_cells: (Bb,) stacked [c1 of cell(hi=0..rows2/2-1, j)..., c2...].
-    jobs_b:   (nsteps, 4, B) int32 from plan.jobs_b(digits).
-    """
-    nwind, w, Bb, S, B = plan.nwind, plan.w, plan.Bb, plan.S, plan.B
-    sb_rows = jnp.asarray(plan.sb_rows)
-    step = _make_step(cg)
-
-    def fn(bf_cells, jobs_b):
-        # scan A: doubling-chain stack (collect pre-square state each step,
-        # keep every w-th)
+    def fn(bf_cells):
         _, stack = jax.lax.scan(
             lambda c, _: (cg.nudupl2(c), c), bf_cells, None,
             length=nwind * w)
-        chain = jax.tree.map(
+        return jax.tree.map(
             lambda x: x[::w].reshape((nwind * Bb,) + x.shape[2:]), stack)
 
+    return fn
+
+
+def make_ladder(cg: CG, plan: MatmulPlan):
+    """chain stack -> contracted bank: the pool machine (Yao ladder bank
+    updates + per-slot m-contraction), ONE compose instance."""
+    S, B = plan.S, plan.B
+    sb_rows = jnp.asarray(plan.sb_rows)
+    step = _make_step(cg)
+
+    def fn(chain, jobs_b):
         # pool B: [identity, dump, chain, bank(identity-init)]
         head = identity_bform2(cg, 2)
         bank0 = identity_bform2(cg, S * B)
         pool = _tree_concat([head, chain, bank0])
         pool, _ = jax.lax.scan(step, pool, jobs_b)
         return _gather(pool, sb_rows)
+
+    return fn
+
+
+def make_phase1(cg: CG, plan: MatmulPlan):
+    """cells -> contracted bank (chain + ladder in one graph; the sharded
+    shard_map path uses this single-jit form). Returns
+    fn(bf_cells, jobs_b) -> BForm of (S-1)*Bo rows: slot-major contracted
+    bank, slot v's Bo rows holding prod_j bank[(hi,j,kk)][v] at (hi, kk).
+
+    bf_cells: (Bb,) stacked [c1 of cell(hi=0..rows2/2-1, j)..., c2...].
+    jobs_b:   (nsteps, 4, B) int32 from plan.jobs_b(digits).
+    """
+    chain_fn = make_chain(cg, plan)
+    ladder_fn = make_ladder(cg, plan)
+
+    def fn(bf_cells, jobs_b):
+        return ladder_fn(chain_fn(bf_cells), jobs_b)
 
     return fn
 

@@ -37,8 +37,11 @@ from ..node.wire import (
 log = logging.getLogger("cofhe_tpu.smpc")
 
 # reference smpc_client.hpp:17 uses 10M; keep the default small enough to not
-# swamp the python dealer, configurable for production
-DEFAULT_TRIPLET_CACHE = 1024
+# swamp the python dealer, configurable for production via
+# COFHE_TRIPLET_CACHE (a refill requests max(need, cache_size) triplets)
+import os as _os
+
+DEFAULT_TRIPLET_CACHE = int(_os.environ.get("COFHE_TRIPLET_CACHE", "1024"))
 
 
 class SMPCClient:
