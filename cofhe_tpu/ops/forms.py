@@ -263,7 +263,8 @@ def compose_batch(F1: BForm, F2: BForm, spec: FormSpec, delta4_mag: jnp.ndarray,
     d1_is_one = (d1[..., 0] == 1) & (jnp.sum(jnp.abs(d1), axis=-1) == 1)
 
     def _skip(_):
-        one = jnp.zeros_like(d1).at[..., 0].set(1)
+        one = jnp.concatenate([jnp.ones_like(d1[..., :1]),
+                               jnp.zeros_like(d1[..., 1:])], axis=-1)
         return one, one, jnp.zeros_like(d1)
 
     def _full(_):

@@ -235,7 +235,8 @@ class CG:
         # ---- second gcd block: g = gcd(d1, |s|), eta0 in [0, d1) with
         # eta0 * |s| ≡ g (mod d1)
         fits8 = lb.mag_bitlen(d1) <= 120
-        one8 = jnp.zeros_like(d1[..., :8]).at[..., 0].set(1)
+        one8 = jnp.concatenate([jnp.ones_like(d1[..., :1]),
+                                jnp.zeros_like(d1[..., 1:8])], axis=-1)
         d1_8 = jnp.where(fits8[..., None], d1[..., :8], one8)
         dinv8 = lb.modinv16(d1_8[..., 0])
         d1_8L = lb.resize(d1_8, Lh)

@@ -123,34 +123,43 @@ def canonicalize_fast(limbs):
     all carries in log2(L) steps.
     """
     x = limbs
+    Ll = x.shape[-1]
     for _ in range(2):
         c = x >> BASE_BITS
         r = x - (c << BASE_BITS)
         x = r + jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
-        x = x.at[..., -1].add(c[..., -1] << BASE_BITS)
+        x = jnp.concatenate(
+            [x[..., :Ll - 1],
+             (x[..., Ll - 1] + (c[..., Ll - 1] << BASE_BITS))[..., None]],
+            axis=-1)
     # top limb may still be big (guard-limb contract keeps it in int32 range)
     # limbs now in [-1, 2^16) except possibly the top; transfer functions:
-    # T_i(c) = floor((x_i + c) / 2^16) for c in {-1, 0, +1}
+    # T_i(c) = floor((x_i + c) / 2^16) for c in {-1, 0, +1}.
+    # Hand-rolled Kogge-Stone prefix composition (Mosaic cannot lower
+    # lax.associative_scan or negative static indices, and the unrolled
+    # form is equivalent under XLA):
     om = (x - 1) >> BASE_BITS
     oz = x >> BASE_BITS
     op = (x + 1) >> BASE_BITS
+    k = 1
+    while k < Ll:
+        def shift(v, fill):
+            return jnp.concatenate(
+                [jnp.full_like(v[..., :k], fill), v[..., :Ll - k]], axis=-1)
 
-    def compose(a, b):
-        # a then b (a is closer to LSB): out(c) = b(a(c))
-        am, az, ap = a
-        bm, bz, bp = b
+        sm, sz, sp = shift(om, -1), shift(oz, 0), shift(op, 1)
 
-        def sel(idx):
+        def sel(idx, bm=om, bz=oz, bp=op):
             return jnp.where(idx < 0, bm, jnp.where(idx > 0, bp, bz))
 
-        return sel(am), sel(az), sel(ap)
-
-    pm, pz, pp = jax.lax.associative_scan(compose, (om, oz, op), axis=-1)
+        om, oz, op = sel(sm), sel(sz), sel(sp)
+        k *= 2
+    pz = oz
     # carry into limb i = prefix of limbs < i evaluated at initial carry 0
     carry_in = jnp.concatenate([jnp.zeros_like(pz[..., :1]), pz[..., :-1]], axis=-1)
     t = x + carry_in
     mag = t & MASK
-    final_c = pz[..., -1]  # total carry out of the top limb
+    final_c = pz[..., Ll - 1]  # total carry out of the top limb
     is_neg = final_c < 0
     # negative: value = mag_part - 2^(16L); recompute magnitude = 2^(16L)-mag
     neg_mag = _negate_mag_fast(mag)
@@ -164,17 +173,28 @@ def _negate_mag_fast(mag):
     """2^(16L) - mag via complement + increment with log-depth carry."""
     comp = MASK - mag  # in [0, 2^16)
     # add 1 at limb 0: carry propagates through limbs equal to 2^16 - 1
-    inc = comp + jnp.zeros_like(comp).at[..., 0].set(1)
-    # single Kogge-Stone pass: carries are 0/1 only
+    one0 = jnp.concatenate([jnp.ones_like(comp[..., :1]),
+                            jnp.zeros_like(comp[..., 1:])], axis=-1)
+    inc = comp + one0
+    # single Kogge-Stone pass: carries are 0/1 only (hand-rolled prefix,
+    # see canonicalize_fast)
     oz = inc >> BASE_BITS
     op = (inc + 1) >> BASE_BITS
+    Ll = inc.shape[-1]
+    k = 1
+    while k < Ll:
+        def shift(v, fill):
+            return jnp.concatenate(
+                [jnp.full_like(v[..., :k], fill), v[..., :Ll - k]], axis=-1)
 
-    def compose(a, b):
-        az, ap = a
-        bz, bp = b
-        return jnp.where(az > 0, bp, bz), jnp.where(ap > 0, bp, bz)
+        sz, sp = shift(oz, 0), shift(op, 1)
 
-    pz, pp = jax.lax.associative_scan(compose, (oz, op), axis=-1)
+        def sel(idx, bz=oz, bp=op):
+            return jnp.where(idx > 0, bp, bz)
+
+        oz, op = sel(sz), sel(sp)
+        k *= 2
+    pz = oz
     carry_in = jnp.concatenate([jnp.zeros_like(pz[..., :1]), pz[..., :-1]], axis=-1)
     return (inc + carry_in) & MASK
 
@@ -363,49 +383,64 @@ def mag_shr_bits(mag, bits: int):
     return (x >> rem) | ((up << (BASE_BITS - rem)) & MASK)
 
 
+def _shl_limbs_bin(mag, j):
+    """Shift left by per-element j limbs (0 <= j < L), GATHER-FREE: binary
+    decomposition of j into log2(L) masked static shifts (Pallas-lowerable;
+    gathers along the limb axis are not)."""
+    L = mag.shape[-1]
+    out = mag
+    sh = 1
+    while sh < L:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(out[..., :sh]), out[..., :L - sh]], axis=-1)
+        out = jnp.where(((j[..., None] & sh) != 0), shifted, out)
+        sh <<= 1
+    return out * (j[..., None] < L)
+
+
+def _shr_limbs_bin(mag, j):
+    """Shift right by per-element j limbs (0 <= j), gather-free."""
+    L = mag.shape[-1]
+    out = mag
+    sh = 1
+    while sh < L:
+        shifted = jnp.concatenate(
+            [out[..., sh:], jnp.zeros_like(out[..., :sh])], axis=-1)
+        out = jnp.where(((j[..., None] & sh) != 0), shifted, out)
+        sh <<= 1
+    return out * (j[..., None] < L)
+
+
 def mag_shl_bits_dyn(mag, bits):
     """Left shift by per-element dynamic bit count; caller guarantees the
     result fits the buffer."""
-    L = mag.shape[-1]
     limbs = bits // BASE_BITS
     rem = bits % BASE_BITS
-    src = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape) - limbs[..., None]
-    valid = src >= 0
-    lo = jnp.take_along_axis(mag, jnp.clip(src, 0, L - 1), axis=-1) * valid
-    valid2 = (src - 1) >= 0
-    dn = jnp.take_along_axis(mag, jnp.clip(src - 1, 0, L - 1), axis=-1) * valid2
+    lo = _shl_limbs_bin(mag, limbs)
+    dn = _shl_limbs_bin(mag, limbs + 1)
     r = rem[..., None]
     out = jnp.where(r == 0, lo, ((lo << r) & MASK) | (dn >> (BASE_BITS - r)))
     return out
 
 
 def mag_shr_bits_dyn(mag, bits):
-    """Right shift by per-element dynamic bit count (0 <= bits < 16*L)."""
-    L = mag.shape[-1]
+    """Right shift by per-element dynamic bit count (0 <= bits < 16*L);
+    gather-free (binary limb shifts)."""
     limbs = bits // BASE_BITS
     rem = bits % BASE_BITS
-    src = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), mag.shape) + limbs[..., None]
-    valid = src < L
-    lo = jnp.take_along_axis(mag, jnp.clip(src, 0, L - 1), axis=-1) * valid
-    valid2 = (src + 1) < L
-    up = jnp.take_along_axis(mag, jnp.clip(src + 1, 0, L - 1), axis=-1) * valid2
+    lo = _shr_limbs_bin(mag, limbs)
+    up = _shr_limbs_bin(mag, limbs + 1)
     r = rem[..., None]
     return jnp.where(r == 0, lo, (lo >> r) | ((up << (BASE_BITS - r)) & MASK))
 
 
 def mag_shl_limbs_dyn(mag, j, L_out: int):
-    """Shift left by j limbs (j traced: scalar or per-batch), length L_out."""
-    L = mag.shape[-1]
-    idx = jnp.arange(L_out, dtype=jnp.int32)
+    """Shift left by j limbs (j traced: scalar or per-batch), length L_out;
+    gather-free."""
     j = jnp.asarray(j, jnp.int32)
     if j.ndim == 0:
-        src = idx - j  # (L_out,)
-        valid = (src >= 0) & (src < L)
-        return jnp.take(mag, jnp.clip(src, 0, L - 1), axis=-1) * valid.astype(jnp.int32)
-    src = idx - j[..., None]  # (..., L_out)
-    valid = (src >= 0) & (src < L)
-    src = jnp.broadcast_to(jnp.clip(src, 0, L - 1), mag.shape[:-1] + (L_out,))
-    return jnp.take_along_axis(mag, src, axis=-1) * valid.astype(jnp.int32)
+        j = jnp.broadcast_to(j, mag.shape[:-1])
+    return _shl_limbs_bin(resize(mag, L_out), j)
 
 
 # ---------------------------------------------------------------------------
@@ -426,7 +461,8 @@ def mag_bitlen(mag):
     nz = mag != 0
     idx = jnp.arange(L, dtype=jnp.int32)
     top = jnp.max(jnp.where(nz, idx, -1), axis=-1)
-    top_limb = jnp.take_along_axis(mag, jnp.clip(top, 0, L - 1)[..., None], axis=-1)[..., 0]
+    # one-hot select instead of gather (Pallas-lowerable)
+    top_limb = jnp.sum(jnp.where(idx == top[..., None], mag, 0), axis=-1)
     return jnp.where(top < 0, 0, top * BASE_BITS + _limb_bitlen(top_limb))
 
 
@@ -437,11 +473,10 @@ def mag_float(mag):
     nz = mag != 0
     idx = jnp.arange(L, dtype=jnp.int32)
     top = jnp.clip(jnp.max(jnp.where(nz, idx, 0), axis=-1), 0, L - 1)
-    t0 = jnp.take_along_axis(mag, top[..., None], axis=-1)[..., 0]
-    t1 = jnp.where(top >= 1,
-                   jnp.take_along_axis(mag, jnp.clip(top - 1, 0, L - 1)[..., None], axis=-1)[..., 0], 0)
-    t2 = jnp.where(top >= 2,
-                   jnp.take_along_axis(mag, jnp.clip(top - 2, 0, L - 1)[..., None], axis=-1)[..., 0], 0)
+    d = top[..., None] - idx  # one-hot selects instead of gathers
+    t0 = jnp.sum(jnp.where(d == 0, mag, 0), axis=-1)
+    t1 = jnp.sum(jnp.where(d == 1, mag, 0), axis=-1)
+    t2 = jnp.sum(jnp.where(d == 2, mag, 0), axis=-1)
     mant = (t0.astype(jnp.float32) * float(BASE) ** 2
             + t1.astype(jnp.float32) * float(BASE)
             + t2.astype(jnp.float32))
@@ -468,7 +503,7 @@ def mag_v2(mag):
     nz = mag != 0
     idx = jnp.arange(L, dtype=jnp.int32)
     first = jnp.min(jnp.where(nz, idx, L), axis=-1)  # (...,)
-    limb = jnp.take_along_axis(mag, jnp.clip(first, 0, L - 1)[..., None], axis=-1)[..., 0]
+    limb = jnp.sum(jnp.where(idx == first[..., None], mag, 0), axis=-1)
     tz = jnp.zeros_like(limb)
     done = jnp.zeros_like(limb, dtype=bool)
     for j in range(BASE_BITS):
@@ -509,8 +544,9 @@ def mag_divexact_odd(x, y, L_out: int):
         sub = rem - d_lo[..., None] * yv - d_hi[..., None] * y8  # |limb| < 2^26
         # value(sub) ≡ 0 mod 2^16: fold limb0 upward, shift right one limb
         c0 = sub[..., 0] >> BASE_BITS  # limb0 value is a multiple of 2^16
-        shifted = jnp.concatenate([sub[..., 1:], jnp.zeros_like(sub[..., :1])], axis=-1)
-        shifted = shifted.at[..., 0].add(c0)
+        shifted = jnp.concatenate(
+            [(sub[..., 1] + c0)[..., None], sub[..., 2:],
+             jnp.zeros_like(sub[..., :1])], axis=-1)
         # partial carry pass to keep limbs bounded
         carry = shifted >> BASE_BITS
         shifted = (shifted & MASK) + jnp.concatenate(

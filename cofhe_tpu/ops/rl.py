@@ -46,7 +46,14 @@ def carry_pass(x):
     c = (x + (1 << (BASE_BITS - 1))) >> BASE_BITS
     r = x - (c << BASE_BITS)
     out = r + jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
-    return out.at[..., -1].add(c[..., -1] << BASE_BITS)
+    # static-slice+concat with POSITIVE indices instead of .at[..., -1].add:
+    # both the scatter form and negative static indices lower to
+    # dynamic_slice, which Mosaic (Pallas TPU) can't lower
+    Ll = out.shape[-1]
+    return jnp.concatenate(
+        [out[..., :Ll - 1],
+         (out[..., Ll - 1] + (c[..., Ll - 1] << BASE_BITS))[..., None]],
+        axis=-1)
 
 
 def carry2(x):
@@ -64,13 +71,16 @@ def shr1_red(x):
 def shl_limbs_take(x, j):
     """x * 2^(16 j) for per-element j >= 0 (pure limb relabeling — exact on
     redundant limbs). Truncates limbs that fall off the top; callers size
-    buffers so that never holds value."""
+    buffers so that never holds value. Gather-free (binary limb shifts)."""
     L = x.shape[-1]
-    idx = jnp.arange(L, dtype=jnp.int32)
-    src = idx - j[..., None]
-    valid = src >= 0
-    src = jnp.broadcast_to(jnp.clip(src, 0, L - 1), x.shape[:-1] + (L,))
-    return jnp.take_along_axis(x, src, axis=-1) * valid
+    out = x
+    sh = 1
+    while sh < L:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(out[..., :sh]), out[..., :L - sh]], axis=-1)
+        out = jnp.where(((j[..., None] & sh) != 0), shifted, out)
+        sh <<= 1
+    return out * (j[..., None] < L)
 
 
 def pow2f(e):
@@ -248,8 +258,9 @@ def redc_pow16(x, d_mag, d8, dinv16, steps: int, active=None):
         y = xc + t_lo[..., None] * d_mag + t_hi[..., None] * d8
         # low limb of y is ≡ 0 mod 2^16: shift down one limb exactly
         c0 = y[..., 0] >> BASE_BITS
-        y = jnp.concatenate([y[..., 1:], jnp.zeros_like(y[..., :1])], axis=-1)
-        y = y.at[..., 0].add(c0)
+        y = jnp.concatenate(
+            [(y[..., 1] + c0)[..., None], y[..., 2:],
+             jnp.zeros_like(y[..., :1])], axis=-1)
         return carry_pass(y)
 
     def cond(state):

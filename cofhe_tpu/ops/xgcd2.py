@@ -102,8 +102,10 @@ def xgcd_coeff_g(f_mag, g_mag, m_mag, nbits: int, need_u: bool = False):
     g = rl.carry_pass(g_mag.astype(jnp.int32))
     delta = jnp.ones(f.shape[:-1], jnp.int32)
     Q = jnp.zeros_like(f)
-    S = jnp.zeros_like(f).at[..., 0].set(1)
-    P = jnp.zeros_like(f).at[..., 0].set(1)
+    one0 = jnp.concatenate([jnp.ones_like(f[..., :1]),
+                            jnp.zeros_like(f[..., 1:])], axis=-1)
+    S = one0
+    P = one0
     R = jnp.zeros_like(f)
 
     def reduce_row(x):
