@@ -12,15 +12,16 @@ ladder (ops/nupow2.py):
   * part_decrypt / decrypt — shared-exponent wNAF ladder (the exponent is
                      the host-known share/secret key), then a host-side
                      closed-form dlog for decrypt.
-  * scal_matmul    — ct (n,m) x pt (m,p) as ONE fused jit: Yao ladder with
-                     the doubling chain shared across the p exponents of
-                     each cell (the TPU form of the reference's
-                     cross-exponent doubling cache, qfi.inl:28-62), a
-                     masked fixed-shape contraction tree over m (single
-                     compose instance run log2(m) times by lax.scan), and
-                     the fresh Enc(0) seed the reference also adds
-                     (cpu_cryptosystem_tensor_ops.inl:352-356). No host
-                     round-trips between stages.
+  * scal_matmul    — ct (n,m) x pt (m,p) via the pool-machine job stream
+                     (ops/matmul2.py): per row chunk a doubling-chain scan
+                     (the TPU form of the reference's cross-exponent
+                     doubling cache, qfi.inl:28-62) and a gather/compose/
+                     scatter ladder+contraction scan, dispatched async per
+                     chunk; ONE batched Yao finalization + Enc(0) fold
+                     (cpu_cryptosystem_tensor_ops.inl:352-356) over all
+                     chunks, one fetch. One compose/nudupl instance per
+                     jit (the remote compile worker faults on larger
+                     graphs).
 
 Batch shapes are bucketed to powers of two (pad with identity forms) to
 bound recompilation. Results are bit-exact with the host path.
@@ -76,15 +77,15 @@ class JaxEngine:
             return (np.asarray(h_bf.a[i]), np.asarray(h_bf.b_sign[i]),
                     np.asarray(h_bf.b[i]), np.asarray(h_bf.c[i]))
 
-        # Pallas kernels on TPU-like backends (COFHE_PALLAS=0/1 overrides)
+        # Pallas xgcd kernel: OPT-IN (COFHE_PALLAS=1). It lowers and is
+        # bit-exact on real TPUs, but measures ~2x slower than the XLA
+        # while-loop at every VMEM tile size tried (XLA already runs this
+        # loop near state-bandwidth); kept as the foundation for moving
+        # LARGER compose segments into single kernels.
         from .pallas_group import env_enabled
 
-        try:
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        except Exception:
-            on_tpu = False
         self.cg = CG(disc_bits, delta4, _row(0), _row(1),
-                     use_pallas=env_enabled(on_tpu))
+                     use_pallas=env_enabled(False))
         self._identity_form = hsm2k.identity
 
     # ------------------------------------------------------------- transport
@@ -478,10 +479,11 @@ class JaxEngine:
         env = os.environ.get("COFHE_MATMUL_CHUNK_ROWS")
         if env:
             return max(1, int(env))
-        # target <= ~8k exponent rows per call (2 * rows * m * p): the
-        # largest batch validated stable through the TPU runtime; larger
-        # pools amortize better but have crashed the remote worker
-        rows = max(1, 4096 // max(1, m * p))
+        # target <= ~16k exponent rows per call (2 * rows * m * p):
+        # measured 3.4 ms/scal-op at B=16384 vs 15 ms at B=8192 on a v5e
+        # (per-pass fixed costs amortize with batch); beyond that the
+        # remote compile worker becomes unreliable
+        rows = max(1, 8192 // max(1, m * p))
         return rows
 
     def scal_matmul(self, s_tensor, ct_tensor, zero_ct: CipherText):

@@ -199,6 +199,42 @@ def _negate_mag_fast(mag):
     return (inc + carry_in) & MASK
 
 
+def canonicalize_nonneg(limbs):
+    """Canonical magnitude of a NONNEGATIVE redundant value (all limbs
+    >= 0, < ~2^26): like canonicalize_fast but carries are {0, +1} after
+    the bounding passes, so the prefix needs only a 2-state composition
+    and no sign/negate handling (~40% cheaper; used by mag_mul, whose
+    products are nonneg by construction)."""
+    x = limbs
+    Ll = x.shape[-1]
+    for _ in range(2):
+        c = x >> BASE_BITS
+        r = x - (c << BASE_BITS)
+        x = r + jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+        x = jnp.concatenate(
+            [x[..., :Ll - 1],
+             (x[..., Ll - 1] + (c[..., Ll - 1] << BASE_BITS))[..., None]],
+            axis=-1)
+    oz = x >> BASE_BITS
+    op = (x + 1) >> BASE_BITS
+    k = 1
+    while k < Ll:
+        def shift(v, fill):
+            return jnp.concatenate(
+                [jnp.full_like(v[..., :k], fill), v[..., :Ll - k]], axis=-1)
+
+        sz, sp = shift(oz, 0), shift(op, 1)
+
+        def sel(idx, bz=oz, bp=op):
+            return jnp.where(idx > 0, bp, bz)
+
+        oz, op = sel(sz), sel(sp)
+        k *= 2
+    carry_in = jnp.concatenate([jnp.zeros_like(oz[..., :1]), oz[..., :-1]],
+                               axis=-1)
+    return (x + carry_in) & MASK
+
+
 def resize(mag, L: int):
     """Zero-pad (or truncate — caller must guarantee value-preserving) the
     limb axis to length L."""
@@ -324,8 +360,7 @@ def mag_mul(ma, mb, L_out: int | None = None):
     c8 = _poly_mul8(a8.reshape(-1, a8.shape[-1]), b8.reshape(-1, b8.shape[-1]))
     c8 = c8.reshape(*lead, c8.shape[-1])
     red16 = resize(_from8(c8), L_out)
-    _, mag = canonicalize_fast(red16)  # values are nonnegative
-    return mag
+    return canonicalize_nonneg(red16)
 
 
 def mag_sqr(ma, L_out: int | None = None):
