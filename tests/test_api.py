@@ -131,3 +131,34 @@ def test_factory():
 
     cs = make_cryptosystem(SecurityLevel.MEDIUM, 32, device=Device.CPU)
     assert cs.sec_level == 128 and cs.k == 32
+
+
+def test_tensor_views():
+    """Strided section / broadcast views (the reference's Accessor walk/
+    section machinery, common/tensor.hpp:112-193, 462-1095): shared
+    storage, write-through, stride-0 broadcast, nested sections."""
+    from cofhe_tpu.tensor import Tensor
+
+    t = Tensor(list(range(12)), (3, 4))
+    v = t.section((1, 1), (3, 3))        # rows 1..2, cols 1..2
+    assert v.shape == (2, 2)
+    assert [v.at(i, j) for i in range(2) for j in range(2)] == [5, 6, 9, 10]
+    assert not v.is_contiguous() and not v.is_broadcasted()
+    v.set(0, 1, 99)                      # write-through
+    assert t.at(1, 2) == 99
+    assert v.make_contiguous().data == [5, 99, 9, 10]
+    # nested section
+    v2 = v.section((1, 0), (2, 2))
+    assert list(v2) == [9, 10]
+    # broadcast view: stride-0 axis, no copy
+    row = Tensor([7, 8], (2,))
+    b = row.broadcast_view((3, 2))
+    assert b.is_broadcasted()
+    assert [b.at(i, j) for i in range(3) for j in range(2)] == [7, 8] * 3
+    row.data[0] = 70                     # view sees parent mutation
+    assert b.at(2, 0) == 70
+    # full-row contiguous section is contiguous
+    assert t.section((0, 0), (1, 4)).is_contiguous()
+    # in-place element set on Tensor itself
+    t.set(0, 0, -1)
+    assert t.at(0, 0) == -1
