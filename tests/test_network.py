@@ -53,7 +53,7 @@ def network(toy_hsm):
     client.close()
     for s in servers:
         s.stop()
-    del os.environ["COFHE_P_OVERRIDE"]
+    os.environ.pop("COFHE_P_OVERRIDE", None)
     cl_hsm2k._cached_params.cache_clear()
 
 
@@ -226,5 +226,5 @@ def test_tls_end_to_end(toy_hsm, tmp_path):
     finally:
         for s in servers:
             s.stop()
-        del os.environ["COFHE_P_OVERRIDE"]
+        os.environ.pop("COFHE_P_OVERRIDE", None)
         cl_hsm2k._cached_params.cache_clear()
