@@ -10,7 +10,11 @@ Then:                 python examples/tutorial.py --toy
 from __future__ import annotations
 
 import argparse
+import os
 import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
