@@ -30,7 +30,6 @@ bound recompilation. Results are bit-exact with the host path.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -226,128 +225,6 @@ class JaxEngine:
         return (plan, jax.jit(make_chain(self.cg, plan)),
                 jax.jit(make_ladder(self.cg, plan)),
                 jax.jit(make_phase2(self.cg, plan)))
-
-    @functools.lru_cache(maxsize=32)
-    def _matmul_kernel(self, n: int, m: int, p: int, nwind: int):
-        """One fused jit for the whole (n,m)x(m,p) matmul. Layouts:
-        cells (2*n*m): [c1 of cell(i,j)..., c2...]; exponent rows
-        (2*n*m*p): flat (half, i, j, k); zero (2*n*p): [c1..., c2...]."""
-        cg = self.cg
-        nmp = n * m * p
-        B = 2 * nmp
-        base_map = np.zeros(B, dtype=np.int32)
-        for h in range(2):
-            for i in range(n):
-                for j in range(m):
-                    base_map[(h * n * m + i * m + j) * p:
-                             (h * n * m + i * m + j + 1) * p] = h * n * m + i * m + j
-        m_pad = _bucket(m)
-        levels = max(1, int(math.log2(m_pad)))
-        mh = max(1, m_pad // 2)
-        # per-level pair-gather indices into the (mh,)-axis state + validity
-        gA = np.zeros((max(0, levels - 1), mh), dtype=np.int32)
-        gB = np.zeros((max(0, levels - 1), mh), dtype=np.int32)
-        valid = np.zeros((max(0, levels - 1), mh), dtype=bool)
-        c = mh
-        for l in range(levels - 1):
-            for i in range(mh):
-                if 2 * i + 1 < c:
-                    gA[l, i], gB[l, i], valid[l, i] = 2 * i, 2 * i + 1, True
-            c //= 2
-
-        def k(bf_cells, digits, bf_zero):
-            powed = nupow_yao2(cg, bf_cells, digits, base_map=base_map,
-                               w=YAO_W)
-            # view (2n, m, p); pad m -> m_pad with identities
-            def view(x):
-                y = x.reshape((2 * n, m, p) + x.shape[1:])
-                if m_pad > m:
-                    pad = [(0, 0)] * y.ndim
-                    pad[1] = (0, m_pad - m)
-                    y = jnp.pad(y, pad)
-                return y
-
-            pw = BForm(view(powed.a), view(powed.b_sign), view(powed.b),
-                       view(powed.c))
-            if m_pad > m:  # identity pads need a == 1, c == delta4
-                ident = identity_bform2(cg, 1)
-                padm = (jnp.arange(m_pad) >= m)[None, :, None]
-                pw = BForm(jnp.where(padm[..., None], ident.a[0], pw.a),
-                           jnp.where(padm, 0, pw.b_sign),
-                           pw.b,
-                           jnp.where(padm[..., None], ident.c[0], pw.c))
-
-            def flat(bf, mc):
-                return BForm(bf.a.reshape(2 * n * mc * p, -1),
-                             bf.b_sign.reshape(2 * n * mc * p),
-                             bf.b.reshape(2 * n * mc * p, -1),
-                             bf.c.reshape(2 * n * mc * p, -1))
-
-            def unflat(bf, mc):
-                return BForm(bf.a.reshape(2 * n, mc, p, -1),
-                             bf.b_sign.reshape(2 * n, mc, p),
-                             bf.b.reshape(2 * n, mc, p, -1),
-                             bf.c.reshape(2 * n, mc, p, -1))
-
-            if m_pad == 1:
-                acc = flat(pw, 1)
-            else:
-                # level 0: adjacent pairs of the m_pad inputs -> mh
-                A = BForm(pw.a[:, 0::2], pw.b_sign[:, 0::2], pw.b[:, 0::2],
-                          pw.c[:, 0::2])
-                Bv = BForm(pw.a[:, 1::2], pw.b_sign[:, 1::2], pw.b[:, 1::2],
-                           pw.c[:, 1::2])
-                cur = cg.compose2(flat(A, mh), flat(Bv, mh))
-
-                if levels > 1:
-                    identf = identity_bform2(cg, 2 * n * mh * p)
-
-                    def lvl(curf, xs):
-                        ga, gb, vl = xs
-                        bf = unflat(curf, mh)
-                        A = BForm(jnp.take(bf.a, ga, axis=1),
-                                  jnp.take(bf.b_sign, ga, axis=1),
-                                  jnp.take(bf.b, ga, axis=1),
-                                  jnp.take(bf.c, ga, axis=1))
-                        Bv = BForm(jnp.take(bf.a, gb, axis=1),
-                                   jnp.take(bf.b_sign, gb, axis=1),
-                                   jnp.take(bf.b, gb, axis=1),
-                                   jnp.take(bf.c, gb, axis=1))
-                        comp = cg.compose2(flat(A, mh), flat(Bv, mh))
-                        vmask = jnp.broadcast_to(vl[None, :, None],
-                                                 (2 * n, mh, p)).reshape(-1)
-                        out = BForm(jnp.where(vmask[:, None], comp.a, identf.a),
-                                    jnp.where(vmask, comp.b_sign,
-                                              identf.b_sign),
-                                    jnp.where(vmask[:, None], comp.b,
-                                              identf.b),
-                                    jnp.where(vmask[:, None], comp.c,
-                                              identf.c))
-                        return out, None
-
-                    cur, _ = jax.lax.scan(
-                        lvl, cur, (jnp.asarray(gA), jnp.asarray(gB),
-                                   jnp.asarray(valid)))
-                # result sits in slot 0 of the m-axis
-                accv = unflat(cur, mh)
-                acc = BForm(accv.a[:, 0].reshape(2 * n * p, -1),
-                            accv.b_sign[:, 0].reshape(2 * n * p),
-                            accv.b[:, 0].reshape(2 * n * p, -1),
-                            accv.c[:, 0].reshape(2 * n * p, -1))
-            return cg.compose2(acc, bf_zero)
-
-        # dp-shard every row axis over the mesh (2n | dp makes it
-        # zero-collective; other splits are still correct via GSPMD)
-        if self._rows_divisible(2 * n * m, 2 * n * m * p, 2 * n * p):
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sh = self._row_sharding()
-            bsh = BForm(sh, sh, sh, sh)
-            dsh = NamedSharding(self.mesh,
-                                P(None, tuple(self.mesh.axis_names)))
-            return jax.jit(k, in_shardings=(bsh, dsh, bsh),
-                           out_shardings=bsh)
-        return jax.jit(k)
 
     # batched encrypt only pays off once the compose compile amortizes
     min_batch_encrypt = 64
