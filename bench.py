@@ -226,6 +226,12 @@ def main():
              f"({full_rate:.1f} scal-ops/s)")
         dec = cs.hsm2k.decrypt(sk, res.at(0, 0))
         assert dec == expect, "bench result decrypts incorrectly"
+        # also check a LAST-row cell: catches chunk/row permutation bugs
+        # that a (0,0) check cannot see
+        dec2 = cs.hsm2k.decrypt(sk, res.at(n - 1, p - 1))
+        expect2 = sum(ct_vals[(n - 1) * m + j] * s_vals[j * p + (p - 1)]
+                      for j in range(m)) % M
+        assert dec2 == expect2, "bench result row permutation detected"
         emit(metric, full_rate, "ct_scal_ops/s", vs(full_rate))
     note(f"done ({done_iters} full iters)")
 

@@ -401,7 +401,11 @@ class JaxEngine:
         def to_global(xs):
             st = jnp.stack([x.reshape((S1, 2, chunk, p) + x.shape[1:])
                             for x in xs])           # (C, S1, 2, nr, p, ...)
-            st = jnp.moveaxis(st, 0, 3)             # (S1, 2, C, nr, p, ...)
+            # insert the chunk axis BETWEEN h and i_local so global row
+            # i = c*chunk + i_local (moveaxis to position 2, not 3 — the
+            # off-by-one silently permuted output rows for multi-chunk
+            # matmuls; caught by test_scal_matmul_partial_chunk)
+            st = jnp.moveaxis(st, 0, 2)             # (S1, 2, C, nr, p, ...)
             return st.reshape((S1 * 2 * n_pad * p,) + st.shape[5:])
 
         sb_full = BForm(to_global([s.a for s in sbs]),

@@ -94,3 +94,21 @@ def test_scal_matmul(jcs, jkeys):
         for kk in range(p):
             expect = sum(ctv[i * m + j] * sv[j * p + kk] for j in range(m)) % M
             assert dec.at(i, kk) == expect, (i, kk)
+
+
+def test_scal_matmul_partial_chunk(jcs, jkeys, monkeypatch):
+    """n not divisible by the row chunk: pad rows must be computed and
+    dropped without corrupting real outputs (engine.scal_matmul pad path)."""
+    monkeypatch.setenv("COFHE_MATMUL_CHUNK_ROWS", "2")
+    sk, pk = jkeys
+    M = jcs.hsm2k.M
+    n, m, p = 3, 2, 2  # 2 chunks: rows (0,1) and (2, pad)
+    ctv = [random.randrange(1000) for _ in range(n * m)]
+    sv = [random.randrange(1000) for _ in range(m * p)]
+    ct = jcs.encrypt_tensor(pk, Tensor(ctv, (n, m)))
+    res = jcs.scal_ciphertext_tensors(pk, Tensor(sv, (m, p)), ct)
+    dec = jcs.decrypt_tensor(sk, res)
+    for i in range(n):
+        for kk in range(p):
+            expect = sum(ctv[i * m + j] * sv[j * p + kk] for j in range(m)) % M
+            assert dec.at(i, kk) == expect, (i, kk)
