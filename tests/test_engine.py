@@ -102,7 +102,9 @@ def test_scal_matmul_partial_chunk(jcs, jkeys, monkeypatch):
     monkeypatch.setenv("COFHE_MATMUL_CHUNK_ROWS", "2")
     sk, pk = jkeys
     M = jcs.hsm2k.M
-    n, m, p = 3, 2, 2  # 2 chunks: rows (0,1) and (2, pad)
+    # (m, p) matches test_scal_matmul so the per-chunk plan (rows2=4, m=3,
+    # p=2) hits the same compiled kernel — keeps the cold fast tier lean
+    n, m, p = 3, 3, 2  # 2 chunks: rows (0,1) and (2, pad)
     ctv = [random.randrange(1000) for _ in range(n * m)]
     sv = [random.randrange(1000) for _ in range(m * p)]
     ct = jcs.encrypt_tensor(pk, Tensor(ctv, (n, m)))
