@@ -325,6 +325,9 @@ class CryptoSystem:
     def negate_plaintext_tensor(self, pt: Tensor) -> Tensor:
         return pt.map(self.negate_plaintext)
 
+    # exact concept-surface name (cofhe.hpp:50 spells it negate_plain_tensor)
+    negate_plain_tensor = negate_plaintext_tensor
+
     # ----------------------------------------------------------- primitives
     def _encrypt_batch(self, pk: Form, pts: list[int]) -> list[CipherText]:
         """Shared-randomness batch encryption (reference encrypt_vector,
