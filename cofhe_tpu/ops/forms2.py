@@ -298,7 +298,13 @@ class CG:
         a1g = lb.mag_divexact_odd(a1, g, Lh)
         m2x2 = lb.mag_shl_bits(m2, 1, L)
 
-        mu = rl.mod_topdown(mu_red, m2x2, max_iters=self.mu_iters)
+        import os as _os
+
+        if _os.environ.get("COFHE_MU28") == "1":
+            # 28-bit-digit mu reduction (round-4 candidate, opt-in)
+            mu = rl.mod_topdown28(mu_red, m2x2, max_iters=self.mu_iters)
+        else:
+            mu = rl.mod_topdown(mu_red, m2x2, max_iters=self.mu_iters)
         mu = lb.resize(mu, L)
 
         # a3 = a1g*m2 ; b3 = b1 + a1g*mu ; c3 = ((b3/2)^2 + |D|/4)/a3

@@ -157,6 +157,62 @@ def submul_shifted(x, qd, j, m, m14):
     return x - shl_limbs_take(p, j)
 
 
+def mod_topdown28(x, m_mag, active=None, max_iters: int | None = None):
+    """x mod m with 28-BIT estimated digits (vs mod_topdown's 16): each
+    iteration subtracts qd * m * 2^(16 j) via digit_est + submul_shifted,
+    eating ~28 bits, so the trip count roughly halves. Same contract and
+    exact tail as mod_topdown. MEASURED NEGATIVE on a v5e (round 3):
+    compose2 189.8 ms vs 125.3 ms @8192 — the in-loop shifted submul
+    (8 masked limb-shift passes per product) costs more than the halved
+    trip count saves. Kept as a tested alternative (COFHE_MU28=1); the
+    default 16-bit walking-window path stays."""
+    L = x.shape[-1]
+    Lm = m_mag.shape[-1]
+    assert Lm < L, (Lm, L)
+    m = lb.resize(m_mag, L)
+    _, m14 = lb.canonicalize_fast(m << 14)
+    mant_m, top_m = value_est(m)
+    bits_m = bits_est(mant_m, top_m)
+    if active is None:
+        active = jnp.ones(x.shape[:-1], bool)
+    if max_iters is None:
+        max_iters = L + 60
+    jmax = jnp.maximum(L - 2 - top_m, 0)
+
+    def need_work(xc):
+        mant_x, top_x = value_est(xc)
+        w = active & (bits_est(mant_x, top_x) > bits_m - 0.75)
+        return w, mant_x, top_x
+
+    def cond(state):
+        w, it = state[1], state[-1]
+        return (it < max_iters) & jnp.any(w)
+
+    def body(state):
+        xc, w, mant_x, top_x, it = state
+        qd, j = digit_est(mant_x, top_x, mant_m, top_m, max_digit_bits=28)
+        # clipping j down only slows convergence (qd saturates at 2^28-1)
+        j = jnp.minimum(j, jmax)
+        qd = jnp.where(w, qd, 0)
+        xn = carry2(submul_shifted(xc, qd, j, m, m14))
+        wn, mxn, txn = need_work(xn)
+        return xn, wn, mxn, txn, it + 1
+
+    x0 = carry2(x)
+    w0, mx0, tx0 = need_work(x0)
+    xf, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, w0, mx0, tx0, jnp.int32(0)))
+
+    # exact tail (same as mod_topdown)
+    s, mag = lb.canonicalize_fast(xf)
+    for _ in range(2):
+        ge = (s > 0) & (lb.mag_cmp(mag, m) >= 0)
+        neg = s < 0
+        delta = jnp.where(neg[..., None], m, 0) - jnp.where(ge[..., None], m, 0)
+        s, mag = lb.canonicalize_fast(s[..., None] * mag + delta)
+    return mag
+
+
 def mod_topdown(x, m_mag, active=None, max_iters: int | None = None):
     """x mod m -> canonical magnitude in [0, m), for SIGNED redundant x and
     canonical m >= 1 (per element). active: bool mask — inactive elements

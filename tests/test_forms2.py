@@ -130,3 +130,26 @@ def test_compose2_vs_oracle(toy_hsm):
     got = bform_to_forms(type(out)(*out))
     for i in range(B):
         assert got[i] == compose(f1[i], f2[i]), i
+
+
+def test_mod_topdown28():
+    """28-bit-digit variant: same contract as mod_topdown (x mod m for
+    signed redundant x), incl. the degenerate/boundary cases."""
+    random.seed(3)
+    L, B = 40, 64
+    xs = [random.randrange(-(1 << 500), 1 << 500) for _ in range(B)]
+    ms = [random.randrange(1, 1 << 300) for _ in range(B)]
+    xs[0], ms[0] = 0, 1
+    xs[1], ms[1] = -1, 1
+    xs[2], ms[2] = 12345, 1
+    xs[3], ms[3] = -(1 << 400), 3
+    xs[4], ms[4] = (1 << 499) + 7, (1 << 499) + 7
+    xs[5], ms[5] = (1 << 499) + 6, (1 << 499) + 7
+    xs[6], ms[6] = -((1 << 499) + 8), (1 << 499) + 7
+    xs[7], ms[7] = (1 << 500) - 1, 5
+    sx, mx = lb.ints_to_signed(xs, L + 4)
+    mm = lb.ints_to_limbs(ms, L)
+    xin = jnp.asarray(sx)[:, None] * jnp.asarray(mx)
+    out = rl.mod_topdown28(xin, jnp.asarray(mm), max_iters=600)
+    got = lb.limbs_to_ints(np.asarray(out))
+    assert all(got[i] == xs[i] % ms[i] for i in range(B))
