@@ -24,7 +24,7 @@ vs_baseline = speedup over the measured GMP+OpenMP CPU path on this host
 
 Env knobs: COFHE_BENCH_SEC (128), COFHE_BENCH_K (128), COFHE_BENCH_SHAPE
 ("8x64x64" = n,m,p), COFHE_BENCH_ITERS (2), COFHE_BENCH_HOST_SAMPLE (4
-columns of one baseline matmul row), COFHE_BENCH_BUDGET_S (900).
+columns of one baseline matmul row), COFHE_BENCH_BUDGET_S (1500).
 """
 
 import json
@@ -54,7 +54,7 @@ def main():
     shape = os.environ.get("COFHE_BENCH_SHAPE", "8x64x64")
     iters = int(os.environ.get("COFHE_BENCH_ITERS", "2"))
     host_sample = int(os.environ.get("COFHE_BENCH_HOST_SAMPLE", "4"))
-    budget = float(os.environ.get("COFHE_BENCH_BUDGET_S", "900"))
+    budget = float(os.environ.get("COFHE_BENCH_BUDGET_S", "1500"))
     n, m, p = (int(x) for x in shape.split("x"))
 
     def left():
