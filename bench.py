@@ -13,7 +13,7 @@ INCREMENTALLY: a line is emitted as soon as the first timed measurement
 exists and refined lines follow as coverage grows (a driver that takes the
 last line gets the best number; one that takes the first still gets an
 honest measured one). Stages are budgeted so a hard driver timeout cannot
-eat the result: set COFHE_BENCH_BUDGET_S (default 900) to the wall-clock
+eat the result: set COFHE_BENCH_BUDGET_S (default 1500) to the wall-clock
 the driver allows.
 
 value       = homomorphic scalar-multiplications per second (n*m*p ct^s
