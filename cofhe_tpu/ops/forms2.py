@@ -67,8 +67,28 @@ class CG:
     backends)."""
 
     def __init__(self, disc_bits: int, delta4_L2: np.ndarray, h_forms,
-                 h2_forms=None, use_pallas: bool = False):
+                 h2_forms=None, use_pallas: bool = False,
+                 use_pallas_mu: bool | None = None):
+        import os
+
         self.use_pallas = use_pallas
+        # fixed at construction (NOT at trace time: kernels are lru_cached
+        # per shape, so a late env flip would silently mix variants)
+        self.use_mu28 = os.environ.get("COFHE_MU28") == "1"
+        # Pallas VMEM-resident mu loop: ON by default on real TPU backends
+        # (the XLA lowering was measured 5x off roofline, see
+        # pallas_group.mod_topdown); COFHE_PALLAS_MU=0/1 overrides.
+        if use_pallas_mu is None:
+            try:
+                import jax as _jax
+
+                on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+            except Exception:
+                on_tpu = False
+            from .pallas_group import env_enabled_mu
+
+            use_pallas_mu = env_enabled_mu(on_tpu)
+        self.use_pallas_mu = use_pallas_mu
         self.disc_bits = disc_bits
         L, Lh = CGCtx.widths_for_disc_bits(disc_bits)
         self.L = L
@@ -97,6 +117,24 @@ class CG:
         self.xgcd_nbits = disc_bits + 32
         self.mu_iters = (2 * 16 * L) // 13 + 24
         self.red_iters = (2 * disc_bits) // 13 + 96
+        # Tight worst-case intermediate widths (all bounds hold for ANY
+        # reduced inputs, including rotated a2 up to |Delta|/4):
+        #   u  = xi*beta       <= |s| * a2r         <= 3D/2 bits
+        #   t1 = u*(b2-b1)     <= 2D+2 bits   (mu_red / b3h^2 width)
+        #   t2 = eta0*c1       <= a1*c1 <= |Delta|/3  -> fits L
+        # Each gets >= 2 guard limbs for the redundant-limb loops.
+        def _r8(limbs):
+            return ((limbs + 7) // 8) * 8
+
+        self.Lu = _r8((3 * disc_bits // 2 + 48 + 15) // 16)
+        self.Lm = max(_r8((2 * disc_bits + 34 + 15) // 16), L + 8)
+        self.Lsq = min(_r8((disc_bits + 19 + 15) // 16), L)  # b3/2 operand
+        # narrow width for the first xgcd: reduced a's are <= ~D/2 bits, and
+        # rotated-in c2 exceeds Lxn only when a2 < |Delta|/2^(16*Lxn) — for
+        # random class-group elements that has probability ~2^-400; such
+        # lanes fall through to a full-width pass that early-exits when
+        # unused (same pattern as the second-gcd rare path)
+        self.Lxn = min(_r8(Lh + 16), L)
 
     # ------------------------------------------------------------ helpers
     def _is_one(self, mag):
@@ -223,12 +261,32 @@ class CG:
         dds, ddm = lb.sm_sub((b2s, b2h), (b1s, b1h))
 
         # xgcd 1: d1 = gcd(a2, a1), beta = a1-coefficient mod a2 — the
-        # dominant loop; VMEM-resident Pallas kernel on TPU
+        # dominant loop. Two-tier width (see Lxn in __init__): the narrow
+        # pass covers every lane whose operands fit 16*Lxn-32 bits; the
+        # full-width pass handles the astronomically-rare rest and
+        # early-exits immediately when none exist.
         if self.use_pallas:
             from . import pallas_group
 
             d1, beta = pallas_group.xgcd_coeff_g(a2, a1, a2,
                                                  self.xgcd_nbits)
+        elif self.Lxn < L:
+            NL = self.Lxn
+            nb = 16 * NL - 32
+            fitsx = (lb.mag_bitlen(a2) <= nb) & (lb.mag_bitlen(a1) <= nb)
+            fx = fitsx[..., None]
+            one_n = jnp.concatenate([jnp.ones_like(a2[..., :1]),
+                                     jnp.zeros_like(a2[..., 1:NL])], axis=-1)
+            a2_n = jnp.where(fx, a2[..., :NL], one_n)
+            a1_n = jnp.where(fx, a1[..., :NL], 0)
+            d1_n, beta_n = xgcd_coeff_g(a2_n, a1_n, a2_n, nb + 16)
+            one_L = jnp.concatenate([jnp.ones_like(a2[..., :1]),
+                                     jnp.zeros_like(a2[..., 1:])], axis=-1)
+            a2_w = jnp.where(fx, one_L, a2)
+            a1_w = jnp.where(fx, 0, a1)
+            d1_w, beta_w = xgcd_coeff_g(a2_w, a1_w, a2_w, self.xgcd_nbits)
+            d1 = jnp.where(fx, lb.resize(d1_n, L), d1_w)
+            beta = jnp.where(fx, lb.resize(beta_n, L), beta_w)
         else:
             d1, beta = xgcd_coeff_g(a2, a1, a2, self.xgcd_nbits)
 
@@ -286,39 +344,48 @@ class CG:
         xi_s = ts
 
         # u = xi * beta ; mu_num = u*(b2-b1) - 2*sign(s)*eta0*c1
-        u = lb.mag_mul(xi, beta, L + Lh)
-        t1 = lb.mag_mul(u, ddm, L2)                  # |u*(b2-b1)|
+        # (widths Lu/Lm/L from the worst-case bounds in __init__ — the
+        # grouped-conv mul and the mod_topdown per-iteration cost both
+        # scale with the limb width, so tight bounds are free speed)
+        Lu, Lm = self.Lu, self.Lm
+        u = lb.mag_mul(xi, beta, Lu)
+        t1 = lb.mag_mul(u, ddm, Lm)                  # |u*(b2-b1)|
         t1_sign = xi_s * dds
-        t2 = lb.mag_mul(eta0, c1, L + Lh)            # eta0 * c1
+        t2 = lb.mag_mul(eta0, c1, L)                 # eta0*c1 <= |Delta|/3
         mu_red = (t1_sign[..., None] * t1
-                  - 2 * (ss[..., None] * lb.resize(t2, L2)))
+                  - 2 * (ss[..., None] * lb.resize(t2, Lm)))
 
         # m2 = a2/g, a1g = a1/g  (g odd: divides odd a2 via d1)
         m2 = lb.mag_divexact_odd(a2, g, L)
         a1g = lb.mag_divexact_odd(a1, g, Lh)
         m2x2 = lb.mag_shl_bits(m2, 1, L)
 
-        import os as _os
-
-        if _os.environ.get("COFHE_MU28") == "1":
-            # 28-bit-digit mu reduction (round-4 candidate, opt-in)
+        if self.use_mu28:
+            # 28-bit-digit mu reduction (opt-in; measured negative on TPU)
             mu = rl.mod_topdown28(mu_red, m2x2, max_iters=self.mu_iters)
+        elif self.use_pallas_mu:
+            from . import pallas_group
+
+            mu = pallas_group.mod_topdown(mu_red, m2x2,
+                                          max_iters=self.mu_iters)
         else:
             mu = rl.mod_topdown(mu_red, m2x2, max_iters=self.mu_iters)
         mu = lb.resize(mu, L)
 
         # a3 = a1g*m2 ; b3 = b1 + a1g*mu ; c3 = ((b3/2)^2 + |D|/4)/a3
+        # b3 <= b1 + a1g*2*m2 <= 2|Delta|/3 + sqrt -> b3/2 fits Lsq;
+        # (b3/2)^2 + |Delta|/4 <= 2D+2 bits -> the c3 pipeline runs at Lm
         a3 = lb.mag_mul(a1g, m2, L)
         t = lb.mag_mul(a1g, mu, L)
         b3s, b3m = lb.sm_add((b1s, b1m), (jnp.ones_like(b1s), t))
-        b3h = lb.mag_shr_bits(b3m, 1)
-        sq = lb.mag_mul(b3h, b3h, L2)
-        csum = lb.resize(sq, L2) + lb.resize(delta4, L2)
+        b3h = lb.resize(lb.mag_shr_bits(b3m, 1), self.Lsq)
+        sq = lb.mag_mul(b3h, b3h, Lm)
+        csum = lb.resize(sq, Lm) + lb.resize(delta4, Lm)
         _, csum = lb.canonicalize_fast(csum)
         e = lb.mag_v2(a3)
         a3_odd = lb.mag_shr_bits_dyn(a3, e)
-        csum_sh = lb.mag_shr_bits_dyn(csum, jnp.minimum(e, jnp.int32(16 * L2 - 1)))
-        c3 = lb.mag_divexact_odd(csum_sh, lb.resize(a3_odd, L2), L)
+        csum_sh = lb.mag_shr_bits_dyn(csum, jnp.minimum(e, jnp.int32(16 * Lm - 1)))
+        c3 = lb.mag_divexact_odd(csum_sh, lb.resize(a3_odd, Lm), L)
 
         out = self.reduce2(a3.astype(jnp.int32),
                            (b3s[..., None] * b3m).astype(jnp.int32),

@@ -16,8 +16,11 @@ the Pallas path is bit-identical to the XLA path by construction and is
 validated against it in tests/test_pallas.py (interpret mode) and on real
 hardware by the engine's decrypt spot checks.
 
-Selection: CG(use_pallas=True) — set by JaxEngine on TPU-like backends,
-overridable with COFHE_PALLAS=0/1.
+Selection: OPT-IN only — JaxEngine passes use_pallas=env_enabled(False),
+so this kernel runs only with COFHE_PALLAS=1. It is disabled by default
+because it measured ~2x slower than the XLA while-loop at every VMEM tile
+size tried (engine.py:79-88); kept as the foundation for larger fused
+compose segments.
 """
 
 from __future__ import annotations
@@ -45,6 +48,71 @@ def env_enabled(default: bool) -> bool:
     if v is None:
         return default and HAVE_PALLAS
     return v not in ("0", "false", "no") and HAVE_PALLAS
+
+
+# 256 lanes x 264 limbs: the loop body holds ~30 live (tile, L) int32
+# temporaries on the Mosaic VMEM stack; 512 lanes measured 16.88M > the
+# 16M scoped-vmem limit on v5e
+MU_TILE = int(os.environ.get("COFHE_PALLAS_MU_TILE", "256"))
+
+
+def env_enabled_mu(default: bool) -> bool:
+    v = os.environ.get("COFHE_PALLAS_MU")
+    if v is None:
+        return default and HAVE_PALLAS
+    return v not in ("0", "false", "no") and HAVE_PALLAS
+
+
+def mod_topdown(x, m_mag, max_iters: int, tile: int = MU_TILE,
+                interpret: bool = False):
+    """Pallas drop-in for rl.mod_topdown (x mod m, signed redundant x,
+    canonical m) with the ENTIRE estimated-digit while loop VMEM-resident
+    per batch tile.
+
+    Round-4 profile (one v5e, compose2 @8192): the XLA lowering of this
+    loop materializes ~15 HBM passes per iteration (328 us/iter at width
+    264 — 5x off the bandwidth roofline) and was 72% of compose2 device
+    time. Keeping the (x, msh, m12sh) state in VMEM turns those into
+    register/VMEM traffic; each tile's loop also early-exits on its own
+    lanes instead of waiting for the whole batch's stragglers. (Contrast
+    with the xgcd kernel above, where XLA already ran at roofline and the
+    Pallas version measured ~2x slower.)
+
+    The body reuses rl.mod_topdown verbatim on values loaded from VMEM, so
+    it is bit-identical to the XLA path by construction."""
+    from . import rl
+
+    lead = x.shape[:-1]
+    Lx = x.shape[-1]
+    Lm = m_mag.shape[-1]
+    x = x.reshape(-1, Lx)
+    m_mag = jnp.broadcast_to(m_mag, lead + (Lm,)).reshape(-1, Lm)
+    B = x.shape[0]
+    Bp = -(-B // tile) * tile
+    if Bp != B:
+        padn = Bp - B
+        x = jnp.concatenate(
+            [x, jnp.zeros((padn, Lx), x.dtype)])
+        one = jnp.zeros((padn, Lm), m_mag.dtype).at[:, 0].set(1)
+        m_mag = jnp.concatenate([m_mag, one])
+
+    def kernel(x_ref, m_ref, out_ref):
+        out_ref[:] = rl.mod_topdown(x_ref[:], m_ref[:],
+                                    max_iters=max_iters).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // tile,),
+        in_specs=[pl.BlockSpec((tile, Lx), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile, Lm), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile, Lx), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Lx), jnp.int32),
+        interpret=interpret,
+    )(x.astype(jnp.int32), m_mag.astype(jnp.int32))
+    return out[:B].reshape(lead + (Lx,))
 
 
 def xgcd_coeff_g(f_mag, g_mag, m_mag, nbits: int, need_u: bool = False,

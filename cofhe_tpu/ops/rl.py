@@ -218,17 +218,20 @@ def mod_topdown(x, m_mag, active=None, max_iters: int | None = None):
     canonical m >= 1 (per element). active: bool mask — inactive elements
     are passed through cheaply and do not hold the early exit open.
 
-    GATHER-FREE schoolbook: a shifted copy of m starts top-justified BY
-    VALUE (one take_along_axis outside the loop — per-row dynamic limb
-    shifts cost ~40 ms/iteration inside TPU while loops, but are cheap
-    outside) and walks DOWN one limb per iteration whenever its top sits
-    above x's top, so it tracks x's leading limb from above regardless of
-    the x/m ratio. Each iteration subtracts one estimated 16-bit digit
-    times the current shifted m. Ends with an exact canonical tail (<= 2
-    fixes)."""
+    GATHER-FREE schoolbook with ~24-bit digits: a shifted copy of m starts
+    ONE LIMB BELOW x's value top (one batched limb-shift outside the loop —
+    per-row dynamic limb shifts are prohibitive inside TPU while loops) so
+    the estimated digit against it carries ~16-24 bits, and walks DOWN up
+    to two limbs per iteration to hold that alignment as x shrinks. The
+    digit is applied 12+12 against (msh, msh<<12), keeping every product
+    within int32. Profiling round 4: the previous above-the-top walk
+    extracted only ~9.3 bits/iteration (224 iterations for the compose2 mu
+    reduction = 72% of compose2 device time); this variant halves the trip
+    count at the same per-iteration cost. Ends with an exact canonical
+    tail (<= 2 fixes)."""
     L = x.shape[-1]
     Lm = m_mag.shape[-1]
-    assert Lm < L, (Lm, L)  # need >= 1 guard limb for m << 8
+    assert Lm < L, (Lm, L)  # need >= 1 guard limb for m << 12
     m = lb.resize(m_mag, L)
     mant_m, top_m = value_est(m)
     bits_m = bits_est(mant_m, top_m)
@@ -236,54 +239,75 @@ def mod_topdown(x, m_mag, active=None, max_iters: int | None = None):
         active = jnp.ones(x.shape[:-1], bool)
 
     x0 = carry2(x)
-    _, top_x0 = value_est(x0)
-    # per-element: align m's VALUE top just above x's top (clamped so m<<8
-    # shifted keeps its top <= L-1)
-    wleft0 = jnp.clip(top_x0 + 1 - top_m, 0, L - 2 - top_m).astype(jnp.int32)
-    _, m8 = lb.canonicalize_fast(m << 8)
-    msh0 = shl_limbs_take(m, wleft0)
-    m8sh0 = shl_limbs_take(m8, wleft0)
-    if max_iters is None:
-        max_iters = 2 * L + 80
 
     def need_work(xc):
         mant_x, top_x = value_est(xc)
-        w = active & (bits_est(mant_x, top_x) > bits_m - 0.75)
-        return w, mant_x, top_x
+        bx = bits_est(mant_x, top_x)
+        w = active & (bx > bits_m - 0.75)
+        return w, mant_x, top_x, bx
+
+    w0, mx0, tx0, bx0 = need_work(x0)
+    # per-element: align msh's VALUE 8-24 bits below |x|'s (clamped so
+    # m<<12 shifted keeps its top <= L-1). The walk below tracks the VALUE
+    # estimate, not the top limb index — a balanced top limb of +-1 can
+    # leave the value at half the limb scale, and a limb-index walk then
+    # stalls with ~0-bit digits (round-4 bug).
+    wmax = (L - 2 - top_m).astype(jnp.int32)
+    wleft0 = jnp.clip(((bx0 - bits_m - 8.0) / 16.0).astype(jnp.int32),
+                      0, wmax)
+    _, m12 = lb.canonicalize_fast(m << 12)
+    msh0 = shl_limbs_take(m, wleft0)
+    m12sh0 = shl_limbs_take(m12, wleft0)
+    if max_iters is None:
+        max_iters = 2 * L + 80
 
     def shift_down(v):
         return jnp.concatenate([v[..., 1:], jnp.zeros_like(v[..., :1])], axis=-1)
 
+    # while-carry is int32-only (bool / f32 carries fail Mosaic's scf.yield
+    # legalization when this loop runs inside the Pallas kernel; bitcast
+    # the f32 mantissa estimate, keep the work mask as int32)
     def cond(state):
         w = state[4]
         it = state[-1]
-        return (it < max_iters) & jnp.any(w)
+        return (it < max_iters) & jnp.any(w != 0)
 
     def body(state):
-        xc, msh, m8sh, wleft, w, mant_x, top_x, it = state
-        mant_s, top_s = value_est(msh)
-        ratio = mant_x / jnp.maximum(mant_s, 1e-30)
-        scale = pow2f(jnp.clip(16 * (top_x - top_s), -126, 18))
-        qd = jnp.clip(jnp.round(ratio * scale), -65535.0, 65535.0).astype(jnp.int32)
+        xc, msh, m12sh, wleft, wi, mant_bits, top_x, it = state
+        w = wi != 0
+        mant_x = jax.lax.bitcast_convert_type(mant_bits, jnp.float32)
+        top_s = top_m + wleft
+        ratio = mant_x / jnp.maximum(mant_m, 1e-30)
+        # exponent clamp only guards f32 overflow (ratio <= ~2^17, so 2^60
+        # keeps the product finite); the DIGIT clamp below is the real
+        # bound. Clamping the exponent near the digit width instead
+        # silently under-shoots when the limb gap is 2 but mant_x/mant_m
+        # is small, stalling the loop (round-4 bug).
+        scale = pow2f(jnp.clip(16 * (top_x - top_s), -126, 60))
+        qd = jnp.clip(jnp.round(ratio * scale), -16777215.0,
+                      16777215.0).astype(jnp.int32)
         qd = jnp.where(w, qd, 0)
         s = jnp.sign(qd)
         a = jnp.abs(qd)
-        lo = (a & 0xFF) * s
-        hi = (a >> 8) * s
-        xn = carry2(xc - lo[..., None] * msh - hi[..., None] * m8sh)
-        wn, mxn, txn = need_work(xn)
-        # one digit per position: walk down each iteration until back at m,
-        # stalling only when x's top still pokes above msh (huge-ratio
-        # start or estimate overshoot) so 16-bit digits can eat it down
-        do_shift = (wleft > 0) & (txn <= top_s)
-        msh = jnp.where(do_shift[..., None], shift_down(msh), msh)
-        m8sh = jnp.where(do_shift[..., None], shift_down(m8sh), m8sh)
-        wleft = wleft - do_shift.astype(jnp.int32)
-        return xn, msh, m8sh, wleft, wn, mxn, txn, it + 1
+        lo = (a & 0xFFF) * s
+        hi = (a >> 12) * s
+        xn = carry2(xc - lo[..., None] * msh - hi[..., None] * m12sh)
+        wn, mxn, txn, bxn = need_work(xn)
+        # hold bits(msh) ~8-24 below bits(x): a ~24-bit digit drops x by up
+        # to two limbs, so walk down <= 2 per iteration (cheap static
+        # shifts; do NOT walk below the unshifted m)
+        for _ in range(2):
+            do_shift = (wleft > 0) & (bits_m + 16.0 * wleft > bxn - 8.0)
+            msh = jnp.where(do_shift[..., None], shift_down(msh), msh)
+            m12sh = jnp.where(do_shift[..., None], shift_down(m12sh), m12sh)
+            wleft = wleft - do_shift.astype(jnp.int32)
+        return (xn, msh, m12sh, wleft, wn.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(mxn, jnp.int32), txn, it + 1)
 
-    w0, mx0, tx0 = need_work(x0)
     xf, _, _, _, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (x0, msh0, m8sh0, wleft0, w0, mx0, tx0, jnp.int32(0)))
+        cond, body,
+        (x0, msh0, m12sh0, wleft0, w0.astype(jnp.int32),
+         jax.lax.bitcast_convert_type(mx0, jnp.int32), tx0, jnp.int32(0)))
 
     # exact tail: |xf| <~ 1.7 m; canonicalize, then fold sign / subtract
     s, mag = lb.canonicalize_fast(xf)

@@ -43,6 +43,30 @@ def test_add_scal_negate_tensors(toy_cs, toy_keys):
     assert toy_cs.decrypt_tensor(sk, ng).data == [-x % M for x in a]
 
 
+def test_scal_broadcast_zero_degree_only(toy_cs, toy_keys):
+    """0-D tensors broadcast elementwise, but SHAPED 1-element tensors keep
+    the reference's dimension checks (cpu_cryptosystem_tensor_ops.inl:281-285):
+    a (1,) scalar against a (3,) ct vector must still error."""
+    sk, pk = toy_keys
+    M = toy_cs.hsm2k.M
+    vals = [random.randrange(M) for _ in range(3)]
+    ct = toy_cs.encrypt_tensor(pk, Tensor(vals, (3,)))
+    s0 = Tensor.zero_degree(7)
+    out = toy_cs.scal_ciphertext_tensors(pk, s0, ct)
+    assert out.shape == (3,)
+    assert toy_cs.decrypt_tensor(sk, out).data == [7 * v % M for v in vals]
+    # ct 0-D, s vector: broadcast the ct
+    ct0 = Tensor.zero_degree(toy_cs.encrypt(pk, vals[0]))
+    sv = Tensor([2, 3, 4], (3,))
+    out = toy_cs.scal_ciphertext_tensors(pk, sv, ct0)
+    assert toy_cs.decrypt_tensor(sk, out).data == [x * vals[0] % M for x in (2, 3, 4)]
+    with pytest.raises(ValueError):
+        toy_cs.scal_ciphertext_tensors(pk, Tensor([7], (1,)), ct)
+    with pytest.raises(ValueError):
+        toy_cs.scal_ciphertext_tensors(
+            pk, Tensor([7], (1, 1)), toy_cs.encrypt_tensor(pk, Tensor(vals, (1, 3))))
+
+
 def test_scal_matmul(toy_cs, toy_keys):
     """ct(n,m) x pt(m,p): res[i,k] = sum_j ct[i,j]*s[j,k] (+ Enc(0))."""
     sk, pk = toy_keys

@@ -132,6 +132,36 @@ def test_compose2_vs_oracle(toy_hsm):
         assert got[i] == compose(f1[i], f2[i]), i
 
 
+def test_compose2_two_tier_xgcd():
+    """Mid-width params where Lxn < L so the two-tier first-xgcd split is
+    live: random lanes ride the narrow pass; power-of-f operands (a = 4^j
+    even, rotated-in c ~ full discriminant width) exceed the narrow bound
+    and take the full-width pass. Both must stay bit-exact."""
+    from conftest import toy_prime
+    from cofhe_tpu.core.cl_hsm2k import CLHSM2k
+
+    hsm = CLHSM2k(128, 32, p=toy_prime(731))
+    cg, L = _make_cg(hsm)
+    assert cg.Lxn < cg.L, (cg.Lxn, cg.L)  # the split must be live here
+    random.seed(11)
+    pool = [nupow(hsm.h, random.randrange(1, 1 << 60)) for _ in range(8)]
+    B = 12
+    f1 = [pool[random.randrange(len(pool))] for _ in range(B)]
+    f2 = [pool[random.randrange(len(pool))] for _ in range(B)]
+    f1[0] = hsm.power_of_f(5)        # wide lane (one side)
+    f2[1] = hsm.power_of_f(9)        # wide lane (other side)
+    f1[2] = hsm.power_of_f(3)
+    f2[2] = hsm.power_of_f(7)        # wide lane (both sides)
+    f1[3] = identity_form(hsm.Delta)
+    f1[4] = f2[4]                    # self-compose
+    bf1 = bform_from_forms(f1, L)
+    bf2 = bform_from_forms(f2, L)
+    out = jax.tree.map(np.asarray, jax.jit(cg.compose2)(bf1, bf2))
+    got = bform_to_forms(type(out)(*out))
+    for i in range(B):
+        assert got[i] == compose(f1[i], f2[i]), i
+
+
 def test_mod_topdown28():
     """28-bit-digit variant: same contract as mod_topdown (x mod m for
     signed redundant x), incl. the degenerate/boundary cases."""

@@ -39,6 +39,29 @@ def test_pallas_xgcd_matches_plain(need_u):
 
 
 @pytest.mark.skipif(not pallas_group.HAVE_PALLAS, reason="no pallas")
+def test_pallas_mod_topdown_matches_plain():
+    """VMEM-resident mu loop == rl.mod_topdown == python %, incl. signed x,
+    tiny/huge moduli, and tile padding."""
+    from cofhe_tpu.ops import rl
+
+    L, Lm, B = 40, 24, 9  # pads to one tile
+    xs = [random.randrange(-(1 << 600), 1 << 600) for _ in range(B)]
+    ms = [random.randrange(1, 1 << 300) * 2 for _ in range(B)]
+    xs[0], ms[0] = 0, 2
+    xs[1], ms[1] = -1, 2
+    xs[2], ms[2] = (1 << 630) - 1, 3
+    sx, mx = lb.ints_to_signed(xs, L)
+    xin = jnp.asarray(sx)[:, None] * jnp.asarray(mx)
+    mm = jnp.asarray(lb.ints_to_limbs(ms, Lm))
+    plain = rl.mod_topdown(xin, mm, max_iters=300)
+    pall = pallas_group.mod_topdown(xin, mm, max_iters=300, tile=128,
+                                    interpret=True)
+    assert np.array_equal(np.asarray(plain), np.asarray(pall))
+    got = lb.limbs_to_ints(np.asarray(pall))
+    assert all(got[i] == xs[i] % ms[i] for i in range(B))
+
+
+@pytest.mark.skipif(not pallas_group.HAVE_PALLAS, reason="no pallas")
 def test_pallas_xgcd_bezout_oracle():
     """cg * g0 ≡ d (mod m) with m = f0, against python math.gcd."""
     import math
