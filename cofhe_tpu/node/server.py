@@ -111,11 +111,16 @@ class Server:
         asyncio.run(self._serve())
 
     def stop(self) -> None:
-        if self._loop and self._server:
+        """Idempotent: stopping an already-stopped server (e.g. one killed
+        mid-test to exercise elastic recovery) is a no-op."""
+        if self._loop and self._server and not self._loop.is_closed():
             def _stop():
                 self._server.close()
                 for task in asyncio.all_tasks(self._loop):
                     task.cancel()
-            self._loop.call_soon_threadsafe(_stop)
+            try:
+                self._loop.call_soon_threadsafe(_stop)
+            except RuntimeError:
+                pass  # loop closed between the check and the call
         if self._thread:
             self._thread.join(timeout=5)

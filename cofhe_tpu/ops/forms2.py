@@ -75,20 +75,19 @@ class CG:
         # fixed at construction (NOT at trace time: kernels are lru_cached
         # per shape, so a late env flip would silently mix variants)
         self.use_mu28 = os.environ.get("COFHE_MU28") == "1"
-        # Pallas VMEM-resident mu loop: ON by default on real TPU backends
-        # (the XLA lowering was measured 5x off roofline, see
-        # pallas_group.mod_topdown); COFHE_PALLAS_MU=0/1 overrides.
+        # Pallas VMEM-resident mu loop: OPT-IN (COFHE_PALLAS_MU=1).
+        # Measured on a v5e @8192: compose2 134.3 ms with it vs 127.9 ms
+        # with the XLA loop — Mosaic's generated loop code loses ~2x per
+        # iteration, the same verdict as the Pallas xgcd. Kept as the
+        # scaffolding for a future fused multi-phase kernel.
         if use_pallas_mu is None:
-            try:
-                import jax as _jax
-
-                on_tpu = _jax.default_backend() not in ("cpu", "gpu")
-            except Exception:
-                on_tpu = False
             from .pallas_group import env_enabled_mu
 
-            use_pallas_mu = env_enabled_mu(on_tpu)
+            use_pallas_mu = env_enabled_mu(False)
         self.use_pallas_mu = use_pallas_mu
+        # NUCOMP tail (Lehmer-grouped partial reduction) — default ON;
+        # COFHE_NUCOMP=0 restores the full-reduction tail for A/B
+        self.use_nucomp = os.environ.get("COFHE_NUCOMP", "1") != "0"
         self.disc_bits = disc_bits
         L, Lh = CGCtx.widths_for_disc_bits(disc_bits)
         self.L = L
@@ -129,6 +128,10 @@ class CG:
         self.Lu = _r8((3 * disc_bits // 2 + 48 + 15) // 16)
         self.Lm = max(_r8((2 * disc_bits + 34 + 15) // 16), L + 8)
         self.Lsq = min(_r8((disc_bits + 19 + 15) // 16), L)  # b3/2 operand
+        # NUCOMP numerators a3*x^2 / b3*x*y / c3*y^2: worst case ~2D+|y|^2
+        # with the lehmer_euclid y-cap — Lm + 1 limb of margin
+        self.Ln = self.Lm + 8
+        self.eu_groups = disc_bits // 16 + 48
         # narrow width for the first xgcd: reduced a's are <= ~D/2 bits, and
         # rotated-in c2 exceeds Lxn only when a2 < |Delta|/2^(16*Lxn) — for
         # random class-group elements that has probability ~2^-400; such
@@ -387,14 +390,92 @@ class CG:
         csum_sh = lb.mag_shr_bits_dyn(csum, jnp.minimum(e, jnp.int32(16 * Lm - 1)))
         c3 = lb.mag_divexact_odd(csum_sh, lb.resize(a3_odd, Lm), L)
 
-        out = self.reduce2(a3.astype(jnp.int32),
-                           (b3s[..., None] * b3m).astype(jnp.int32),
-                           c3.astype(jnp.int32))
+        if not self.use_nucomp:
+            out = self.reduce2(a3.astype(jnp.int32),
+                               (b3s[..., None] * b3m).astype(jnp.int32),
+                               c3.astype(jnp.int32))
+        else:
+            out = self._nucomp_tail(a3, b3s, b3m, c3, a1g, m2x2, mu)
         # identity selects (both-id: F2 is the identity, so the first select
         # already returns it)
         out = bform_select(id2 & jnp.logical_not(id1), F1, out)
         out = bform_select(id1, F2, out)
         return out
+
+    def _nucomp_tail(self, a3, b3s, b3m, c3, a1g, m2x2, mu):
+        """NUCOMP partial reduction: instead of handing the full-size
+        (a3, b3, c3) to the 200+-iteration rho-descent (measured 72% of
+        compose2 device time on a v5e), walk the continued fraction of
+        mu / 2m2 with lehmer_euclid (exact unimodular groups, ~13 bits per
+        group) and build the nearly-reduced equivalent form from the
+        cofactors:
+
+            z_i = (x_i, y_i),  r_i = x_i*(2B) + y_i*mu
+            Q(z)  = a3 x^2 + b3 x y + c3 y^2       (the transformed a / c)
+            cross = 2 a3 xp xc + b3 (xp yc + xc yp) + 2 c3 yp yc  (the b)
+
+        det[[xp,yp],[xc,yc]] = ±1; an improper transform conjugates the
+        class, undone by negating b. reduce2 then finishes in O(1) steps.
+        This is the role BICYCL's NUCOMP plays for the reference
+        (qfi.inl call sites); validated bit-exactly against the oracle."""
+        L = self.L
+        Ln = self.Ln
+
+        mantB, topB = rl.value_est(m2x2)
+        bitsB = rl.bits_est(mantB, topB)
+        mantA, topA = rl.value_est(a1g)
+        bitsA = rl.bits_est(mantA, topA)
+        # T^2 ~ 2B * sqrt(|D|/4) / sqrt(A*B)
+        bits_stop = 0.5 * (bitsB + 0.5 * (self.disc_bits - 2.0)
+                           - 0.5 * (bitsA + bitsB - 1.0))
+        rp, rc, xp, xc, yp, yc, par = rl.lehmer_euclid(
+            lb.resize(m2x2, L), lb.resize(mu, L), bits_stop, self.eu_groups)
+        del rp, rc  # the cofactors alone determine the transformed form
+        sxp, mxp = lb.canonicalize_fast(xp)
+        sxc, mxc = lb.canonicalize_fast(xc)
+        syp, myp = lb.canonicalize_fast(yp)
+        syc, myc = lb.canonicalize_fast(yc)
+
+        def term(sa, ma, sb, mb, coeff_mag, coeff_sign=None):
+            prod = lb.mag_mul(ma, mb)
+            full = lb.mag_mul(prod, coeff_mag, Ln)
+            s = sa * sb if coeff_sign is None else sa * sb * coeff_sign
+            return s, full
+
+        b3_sign = b3s
+        # nA = a3 xp^2 + b3 xp yp + c3 yp^2  (> 0: form value)
+        t1s, t1m = term(sxp, mxp, sxp, mxp, a3)
+        t2s, t2m = term(sxp, mxp, syp, myp, b3m, b3_sign)
+        t3s, t3m = term(syp, myp, syp, myp, c3)
+        _, nA = lb.canonicalize_fast(t1s[..., None] * t1m
+                                     + t2s[..., None] * t2m
+                                     + t3s[..., None] * t3m)
+        # nC = a3 xc^2 + b3 xc yc + c3 yc^2
+        u1s, u1m = term(sxc, mxc, sxc, mxc, a3)
+        u2s, u2m = term(sxc, mxc, syc, myc, b3m, b3_sign)
+        u3s, u3m = term(syc, myc, syc, myc, c3)
+        _, nC = lb.canonicalize_fast(u1s[..., None] * u1m
+                                     + u2s[..., None] * u2m
+                                     + u3s[..., None] * u3m)
+        # nB = 2 a3 xp xc + b3 (xp yc + xc yp) + 2 c3 yp yc, conjugated on
+        # improper (det = -1) transforms
+        v1s, v1m = term(sxp, mxp, sxc, mxc, a3)
+        v3s, v3m = term(syp, myp, syc, myc, c3)
+        cross = lb.canonicalize_fast(
+            (sxp * syc)[..., None] * lb.mag_mul(mxp, myc)
+            + (sxc * syp)[..., None] * lb.mag_mul(mxc, myp))
+        v2s, v2m = cross[0] * b3_sign, lb.mag_mul(cross[1], b3m, Ln)
+        nB_red = (2 * v1s[..., None] * v1m
+                  + v2s[..., None] * lb.resize(v2m, Ln)
+                  + 2 * v3s[..., None] * v3m)
+        flip = (1 - 2 * (par & 1))[..., None]
+        nB_red = flip * nB_red
+
+        red = self.reduce2(nA.astype(jnp.int32), nB_red.astype(jnp.int32),
+                           lb.resize(nC, Ln).astype(jnp.int32))
+        # reduced coefficients fit L (c <= |Delta|/4); back to form width
+        return BForm(lb.resize(red.a, L), red.b_sign,
+                     lb.resize(red.b, L), lb.resize(red.c, L))
 
     def nudupl2(self, F: BForm) -> BForm:
         return self.compose2(F, F)

@@ -319,6 +319,114 @@ def mod_topdown(x, m_mag, active=None, max_iters: int | None = None):
     return mag
 
 
+def lehmer_euclid(r0_mag, r1_mag, bits_stop, max_groups: int,
+                  sim_steps: int = 8, active=None):
+    """Grouped partial extended Euclid (Lehmer style), batched.
+
+    Maintains EXACT invariants  r_i = x_i * r0 + y_i * r1  for two rows
+    (prev, cur), starting ((r0,1,0), (r1,0,1)). Per group: simulate up to
+    `sim_steps` continued-fraction steps on ~27-bit int32 top-word
+    approximations of (rp, rc) — cheap (batch,) scalar ops — accumulating a
+    2x2 matrix with entries bounded by 2^13, then apply the matrix ONCE to
+    the full-width redundant (r, x, y) rows (products int32-exact against
+    balanced limbs). Any unimodular matrix preserves the invariants, so
+    estimation noise can only slow progress, never break correctness —
+    this is the top-down (CF) analogue of the divstep groups in
+    ops/xgcd2.py, and the engine of the NUCOMP composition tail in
+    forms2.compose2 (the role BICYCL's partial reduction plays behind the
+    reference's qfi.inl call sites).
+
+    Stops per lane when bits(rc) <= bits_stop, when the cofactor yc
+    outgrows its bound (bits(r0) - bits_stop + 24 — keeps downstream
+    product widths static), or at max_groups. Returns redundant signed
+    (rp, rc, xp, xc, yp, yc) and parity (#row swaps mod 2, the det sign of
+    [[xp,yp],[xc,yc]])."""
+    if active is None:
+        active = jnp.ones(r0_mag.shape[:-1], bool)
+    mant0, top0 = value_est(r0_mag)
+    bits_r0 = bits_est(mant0, top0)
+    y_cap = bits_r0 - bits_stop + 24.0
+
+    one = jnp.concatenate([jnp.ones_like(r0_mag[..., :1]),
+                           jnp.zeros_like(r0_mag[..., 1:])], axis=-1)
+    zero = jnp.zeros_like(r0_mag)
+    LIM = 1 << 13
+
+    def ests(v):
+        mant, top = value_est(v)
+        return mant, top, bits_est(mant, top)
+
+    def cond(state):
+        it = state[-1]
+        return (it < max_groups) & jnp.any(state[-2] != 0)
+
+    def body(state):
+        rp, rc, xp, xc, yp, yc, par, _w, it = state
+        mant_p, top_p, bits_p = ests(rp)
+        mant_c, top_c, bits_c = ests(rc)
+        # top-word approximations aligned at rp's scale, ~27 significant
+        # bits; int64-free (values < 2^28)
+        sh = (jnp.maximum(bits_p, bits_c) - 26.0)
+        up = jnp.round(mant_p * pow2f(
+            jnp.clip((16 * top_p).astype(jnp.float32) - sh, -126.0,
+                     30.0).astype(jnp.int32))).astype(jnp.int32)
+        vc = jnp.round(mant_c * pow2f(
+            jnp.clip((16 * top_c).astype(jnp.float32) - sh, -126.0,
+                     30.0).astype(jnp.int32))).astype(jnp.int32)
+        # simulate CF steps on (up, vc); matrix rows (mp0, mp1), (mc0, mc1)
+        mp0 = jnp.ones_like(up)
+        mp1 = jnp.zeros_like(up)
+        mc0 = jnp.zeros_like(up)
+        mc1 = jnp.ones_like(up)
+        parg = jnp.zeros_like(up)
+        lane_on = _w != 0  # finished lanes must get identity matrices
+        for _ in range(sim_steps):
+            emax = jnp.maximum(jnp.abs(mc0), jnp.abs(mc1))
+            epmx = jnp.maximum(jnp.abs(mp0), jnp.abs(mp1))
+            qmax = (LIM - epmx) // jnp.maximum(emax, 1)
+            can = lane_on & (jnp.abs(vc) > 32) & (qmax > 0)
+            q = jnp.clip(up // jnp.where(vc == 0, 1, vc), -qmax, qmax)
+            q = jnp.where(can, q, 0)
+            up2 = jnp.where(can, vc, up)
+            vc2 = jnp.where(can, up - q * vc, vc)
+            np0 = jnp.where(can, mc0, mp0)
+            np1 = jnp.where(can, mc1, mp1)
+            nc0 = jnp.where(can, mp0 - q * mc0, mc0)
+            nc1 = jnp.where(can, mp1 - q * mc1, mc1)
+            parg = parg ^ can.astype(jnp.int32)
+            up, vc, mp0, mp1, mc0, mc1 = up2, vc2, np0, np1, nc0, nc1
+        # apply the group matrix to the full-width rows (entries <= 2^13,
+        # balanced limbs < ~2^15.3: products < 2^29 — int32-exact)
+        def app(a0, a1, pv, cv):
+            return carry_pass(a0[..., None] * pv + a1[..., None] * cv)
+
+        rp2 = app(mp0, mp1, rp, rc)
+        rc2 = app(mc0, mc1, rp, rc)
+        xp2 = app(mp0, mp1, xp, xc)
+        xc2 = app(mc0, mc1, xp, xc)
+        yp2 = app(mp0, mp1, yp, yc)
+        yc2 = app(mc0, mc1, yp, yc)
+        par2 = par ^ parg
+        # continue-lanes: |rc| still above threshold and yc within cap
+        _, _, bits_c2 = ests(rc2)
+        _, _, bits_y2 = ests(yc2)
+        w2 = (active & (bits_c2 > bits_stop)
+              & (bits_y2 < y_cap)).astype(jnp.int32)
+        # freeze finished lanes (their matrix was identity when parg==0,
+        # but a group may overshoot: keep the post-group state — the
+        # invariants hold either way)
+        return rp2, rc2, xp2, xc2, yp2, yc2, par2, w2, it + 1
+
+    w0 = (active & (bits_est(*value_est(r1_mag)) > bits_stop)).astype(jnp.int32)
+    state0 = (carry_pass(r0_mag.astype(jnp.int32)),
+              carry_pass(r1_mag.astype(jnp.int32)),
+              one, zero, zero, one,
+              jnp.zeros(r0_mag.shape[:-1], jnp.int32), w0, jnp.int32(0))
+    rp, rc, xp, xc, yp, yc, par, _, _ = jax.lax.while_loop(
+        cond, body, state0)
+    return rp, rc, xp, xc, yp, yc, par
+
+
 def redc_pow16(x, d_mag, d8, dinv16, steps: int, active=None):
     """x * 2^(-16*steps) mod d for ODD canonical d, redundant nonneg x.
 

@@ -63,6 +63,8 @@ void __gmpz_import(mpz_ptr, size_t, int, size_t, int, size_t, const void *);
 void *__gmpz_export(void *, size_t *, int, size_t, int, size_t, mpz_srcptr);
 size_t __gmpz_sizeinbase(mpz_srcptr, int);
 int __gmpz_tstbit(mpz_srcptr, unsigned long);
+void __gmpz_sqrt(mpz_ptr, mpz_srcptr);
+void __gmpz_add_ui(mpz_ptr, mpz_srcptr, unsigned long);
 }
 
 static inline int mpz_sgn_(mpz_srcptr x) {
@@ -126,19 +128,43 @@ static void normalize(Scratch &s, mpz_srcptr absD) {
   }
 }
 
-// full reduction (qfi.py:83-96); expects c consistent with (a, b, |D|)
+// full reduction (qfi.py:83-96); expects c consistent with (a, b, |D|).
+// Each rho step updates c INCREMENTALLY from the quotient
+// (c_new = a + q*(q*c - b), two small-operand muls) instead of recomputing
+// (b^2 + |D|)/(4a) — the full-width square per step was the dominant cost
+// of the pre-NUCOMP reduction (BASELINE.md's 2-4x caveat).
 static void reduce(Scratch &s, mpz_srcptr absD) {
   normalize(s, absD);
   for (;;) {
     int ac = __gmpz_cmp(s.a, s.c);
     if (ac < 0 || (ac == 0 && mpz_sgn_(s.b) >= 0)) break;
-    // rho: (a, b) <- (c, -b), then normalize
-    __gmpz_swap(s.a, s.c);
-    __gmpz_neg(s.b, s.b);
-    __gmpz_mul_2exp(s.t0, s.a, 1);
-    __gmpz_fdiv_r(s.b, s.b, s.t0);
-    if (__gmpz_cmp(s.b, s.a) > 0) __gmpz_sub(s.b, s.b, s.t0);
-    set_c(s.c, s.a, s.b, absD, s.t0, s.t1);
+    // rho: (a, b, c) <- (c, -b mod 2c, a + q*(q*c + b_neg)) where
+    // -b = 2c*q + b_new  =>  q = floor(-b / 2c)
+    __gmpz_neg(s.b, s.b);                 // b <- -b
+    __gmpz_mul_2exp(s.t0, s.c, 1);        // 2c
+    __gmpz_fdiv_qr(s.q, s.r, s.b, s.t0);  // -b = q*2c + r, 0 <= r < 2c
+    if (__gmpz_cmp(s.r, s.c) > 0) {       // centered: b_new in (-c, c]
+      __gmpz_sub(s.r, s.r, s.t0);
+      __gmpz_add_ui(s.q, s.q, 1);
+    }
+    // c_new = a - q*(b_old_neg + b_new)/2 with b_old_neg = q*2c + ... use
+    // c_new = (b_new^2 + |D|)/(4c) = a + q*( (b_new + (-b_old)) / 2 )...
+    // exact identity: -b_old = 2c*q + b_new  =>
+    //   c_new = a + q*(c*q + b_new)  - q*... derive:
+    //   4c*c_new = b_new^2 + |D| ; 4c*a = b_old^2 + |D|
+    //   => c_new = a + (b_new^2 - b_old^2)/(4c) = a + (b_new - b_old)(b_new + b_old)/(4c)
+    //   with b_old = -(2c*q + b_new): b_new - b_old = 2(c*q + b_new) - ...
+    //   b_new + b_old = -2c*q ; b_new - b_old = 2c*q + 2b_new
+    //   => c_new = a - q*(c*q + b_new)... check sign: (b_new-b_old)(b_new+b_old)
+    //      = (2c*q + 2b_new)(-2c*q) = -4c*q*(c*q + b_new)
+    //   => c_new = a - q*(c*q + b_new)
+    __gmpz_mul(s.t1, s.q, s.c);
+    __gmpz_add(s.t1, s.t1, s.r);
+    __gmpz_mul(s.t1, s.t1, s.q);
+    __gmpz_sub(s.t1, s.a, s.t1);          // c_new
+    __gmpz_swap(s.a, s.c);                // a <- c
+    __gmpz_set(s.b, s.r);                 // b <- b_new
+    __gmpz_swap(s.c, s.t1);               // c <- c_new
   }
 }
 
@@ -148,9 +174,111 @@ static void neg_form(Scratch &s) {
   __gmpz_neg(s.b, s.b);
 }
 
-// s <- reduce(f1 * f2)  (Gauss composition, qfi.py:107-130)
-static void compose(Scratch &o, const Scratch &f1, const Scratch &f2,
-                    mpz_srcptr absD) {
+// Extra scratch for the NUCOMP partial-Euclid state (per thread).
+struct NucompScratch {
+  mpz_t A, Bq, mu, rp, rc, yp, yc, T, qq, nA, nB, nC, w0, w1;
+  NucompScratch() {
+    __gmpz_init(A); __gmpz_init(Bq); __gmpz_init(mu);
+    __gmpz_init(rp); __gmpz_init(rc); __gmpz_init(yp); __gmpz_init(yc);
+    __gmpz_init(T); __gmpz_init(qq); __gmpz_init(nA); __gmpz_init(nB);
+    __gmpz_init(nC); __gmpz_init(w0); __gmpz_init(w1);
+  }
+  ~NucompScratch() {
+    __gmpz_clear(A); __gmpz_clear(Bq); __gmpz_clear(mu);
+    __gmpz_clear(rp); __gmpz_clear(rc); __gmpz_clear(yp); __gmpz_clear(yc);
+    __gmpz_clear(T); __gmpz_clear(qq); __gmpz_clear(nA); __gmpz_clear(nB);
+    __gmpz_clear(nC); __gmpz_clear(w0); __gmpz_clear(w1);
+  }
+};
+
+// NUCOMP core: given the anchored composition data
+//   a3 = A*B, b3 = b1 + A*mu (mod 2*a3), g = gcd-content,
+// partially reduce via the continued fraction of mu / 2B BEFORE forming the
+// full-size coefficients. Lattice view: the composed form is the norm form
+// of the ideal with basis [a3, (-b3+sqrt(D))/2]; the transformed basis
+// vector z_i = (x_i, y_i) with 2B*x_i + mu*y_i = r_i evaluates to
+//   Q(z_i) = [A*r_i^2 + 2*r_i*b1*y_i + 4*g*c1*y_i^2] / (4B)
+// and the cross term of consecutive convergents (det ±1) gives b'. The
+// Euclid remainders/cofactors stay ~half-size, so every product here is a
+// half-width mul — this is the partial-reduction variant the reference
+// gets from BICYCL's nucomp (qfi.inl call sites), removing BASELINE.md's
+// "generic Gauss" caveat. Validated bit-exactly against the pure-Python
+// oracle (tests/test_hostgmp.py).
+static void nucomp_core(Scratch &o, NucompScratch &n, mpz_srcptr b1,
+                        mpz_srcptr c1, mpz_srcptr g, mpz_srcptr absD) {
+  // n.A, n.Bq ( = B), n.mu set by caller; o gets the result (pre-reduce)
+  // threshold T ~ sqrt(2B * sqrt(|D|/4) / sqrt(A*B))
+  __gmpz_fdiv_q_2exp(n.T, absD, 2);
+  __gmpz_sqrt(n.T, n.T);                       // sqrt(|D|/4)
+  __gmpz_mul(n.qq, n.A, n.Bq);
+  __gmpz_sqrt(n.qq, n.qq);                     // sqrt(A*B)
+  __gmpz_mul(n.rp, n.Bq, n.T);
+  __gmpz_mul_2exp(n.rp, n.rp, 1);              // 2B*sqrt(|D|/4)
+  if (__gmpz_cmp_ui(n.qq, 1) < 0) __gmpz_set_si(n.qq, 1);
+  __gmpz_fdiv_q(n.T, n.rp, n.qq);
+  __gmpz_sqrt(n.T, n.T);
+  // partial Euclid on (2B, mu): r_{-1} = 2B, r_0 = mu; y_i tracks
+  // y*mu ≡ r (mod 2B); stop when r <= T
+  __gmpz_mul_2exp(n.rp, n.Bq, 1);
+  __gmpz_set(n.rc, n.mu);
+  __gmpz_set_si(n.yp, 0);
+  __gmpz_set_si(n.yc, 1);
+  int parity = 0;  // det(z_prev, z_cur) = +1 at step 0, flips per step
+  while (__gmpz_cmp(n.rc, n.T) > 0) {
+    __gmpz_fdiv_qr(n.qq, o.t0, n.rp, n.rc);
+    __gmpz_swap(n.rp, n.rc);
+    __gmpz_swap(n.rc, o.t0);
+    __gmpz_submul(n.yp, n.qq, n.yc);           // y_next = y_prev - q*y_cur
+    __gmpz_swap(n.yp, n.yc);
+    parity ^= 1;
+  }
+  // w0 = 4*g*c1 (shared term)
+  __gmpz_mul(n.w0, g, c1);
+  __gmpz_mul_2exp(n.w0, n.w0, 2);
+  // nA = [A*rp^2 + 2*rp*b1*yp + 4*g*c1*yp^2] / 4B
+  __gmpz_mul(o.t0, n.rp, n.rp);
+  __gmpz_mul(o.t0, o.t0, n.A);
+  __gmpz_mul(o.t1, n.rp, b1);
+  __gmpz_mul(o.t1, o.t1, n.yp);
+  __gmpz_mul_2exp(o.t1, o.t1, 1);
+  __gmpz_add(o.t0, o.t0, o.t1);
+  __gmpz_mul(o.t1, n.yp, n.yp);
+  __gmpz_addmul(o.t0, o.t1, n.w0);
+  __gmpz_mul_2exp(o.t2, n.Bq, 2);              // 4B
+  __gmpz_divexact(n.nA, o.t0, o.t2);
+  // nC = [A*rc^2 + 2*rc*b1*yc + 4*g*c1*yc^2] / 4B
+  __gmpz_mul(o.t0, n.rc, n.rc);
+  __gmpz_mul(o.t0, o.t0, n.A);
+  __gmpz_mul(o.t1, n.rc, b1);
+  __gmpz_mul(o.t1, o.t1, n.yc);
+  __gmpz_mul_2exp(o.t1, o.t1, 1);
+  __gmpz_add(o.t0, o.t0, o.t1);
+  __gmpz_mul(o.t1, n.yc, n.yc);
+  __gmpz_addmul(o.t0, o.t1, n.w0);
+  __gmpz_divexact(n.nC, o.t0, o.t2);
+  // nB = [A*rp*rc + b1*(rp*yc + rc*yp) + 4*g*c1*yp*yc] / 2B
+  __gmpz_mul(o.t0, n.rp, n.rc);
+  __gmpz_mul(o.t0, o.t0, n.A);
+  __gmpz_mul(o.t1, n.rp, n.yc);
+  __gmpz_addmul(o.t1, n.rc, n.yp);
+  __gmpz_mul(o.t1, o.t1, b1);
+  __gmpz_add(o.t0, o.t0, o.t1);
+  __gmpz_mul(o.t1, n.yp, n.yc);
+  __gmpz_addmul(o.t0, o.t1, n.w0);
+  __gmpz_mul_2exp(o.t2, n.Bq, 1);              // 2B
+  __gmpz_divexact(n.nB, o.t0, o.t2);
+  // improper transform (det = -1) conjugates the class: flip b back
+  if (parity) __gmpz_neg(n.nB, n.nB);
+  __gmpz_set(o.a, n.nA);
+  __gmpz_set(o.b, n.nB);
+  __gmpz_set(o.c, n.nC);
+  reduce(o, absD);
+}
+
+// s <- reduce(f1 * f2)  (NUCOMP; generic-Gauss congruence + partial
+// reduction. Anchoring identity b3 ≡ b1 (mod 2*a1/g) per ops/forms.py.)
+static void compose(Scratch &o, NucompScratch &n, const Scratch &f1,
+                    const Scratch &f2, mpz_srcptr absD) {
   // sgl = (b1 + b2) / 2  (exact: b1 ≡ b2 ≡ D mod 2)
   __gmpz_add(o.t2, f1.b, f2.b);
   __gmpz_fdiv_q_2exp(o.t2, o.t2, 1);
@@ -177,15 +305,23 @@ static void compose(Scratch &o, const Scratch &f1, const Scratch &f2,
   // b3 = num/g mod 2*a3
   __gmpz_mul_2exp(o.t1, o.a, 1);
   __gmpz_fdiv_r(o.b, o.t0, o.t1);
-  set_c(o.c, o.a, o.b, absD, o.t0, o.t1);
-  reduce(o, absD);
+  // partial reduction: A = a1/g, B = a2/g, mu = ((b3 - b1)/A) mod 2B
+  __gmpz_divexact(n.A, f1.a, o.g2);
+  __gmpz_divexact(n.Bq, f2.a, o.g2);
+  __gmpz_sub(o.t0, o.b, f1.b);
+  __gmpz_divexact(o.t0, o.t0, n.A);
+  __gmpz_mul_2exp(o.t1, n.Bq, 1);
+  __gmpz_fdiv_r(n.mu, o.t0, o.t1);
+  nucomp_core(o, n, f1.b, f1.c, o.g2, absD);
 }
 
-// o <- reduce(f^2)  (qfi.py:133-144)
-static void nudupl(Scratch &o, const Scratch &f, mpz_srcptr absD) {
+// o <- reduce(f^2)  (NUDUPL: same partial-reduction core with
+// A = B = a/g, anchored on (b, c) of f itself)
+static void nudupl(Scratch &o, NucompScratch &n, const Scratch &f,
+                   mpz_srcptr absD) {
   __gmpz_gcdext(o.g, o.x, o.y, f.a, f.b);  // g = x*a + y*b
-  __gmpz_divexact(o.t0, f.a, o.g);
-  __gmpz_mul(o.a, o.t0, o.t0);             // a3 = (a/g)^2
+  __gmpz_divexact(n.A, f.a, o.g);
+  __gmpz_mul(o.a, n.A, n.A);               // a3 = (a/g)^2
   // num = x*a*b + y*(b^2 - 2ac)
   __gmpz_mul(o.t0, f.b, f.b);
   __gmpz_mul(o.t1, f.a, f.c);
@@ -197,8 +333,12 @@ static void nudupl(Scratch &o, const Scratch &f, mpz_srcptr absD) {
   __gmpz_divexact(o.t0, o.t0, o.g);
   __gmpz_mul_2exp(o.t1, o.a, 1);
   __gmpz_fdiv_r(o.b, o.t0, o.t1);
-  set_c(o.c, o.a, o.b, absD, o.t0, o.t1);
-  reduce(o, absD);
+  __gmpz_set(n.Bq, n.A);
+  __gmpz_sub(o.t0, o.b, f.b);
+  __gmpz_divexact(o.t0, o.t0, n.A);
+  __gmpz_mul_2exp(o.t1, n.Bq, 1);
+  __gmpz_fdiv_r(n.mu, o.t0, o.t1);
+  nucomp_core(o, n, f.b, f.c, o.g, absD);
 }
 
 // identity form (1, |D| odd ? 1 : 0, c)
@@ -210,7 +350,8 @@ static void set_identity(Scratch &s, mpz_srcptr absD) {
 
 // o <- reduce(f^e), 4-bit left-to-right fixed window (qfi.py:147-186)
 static void nupow(Scratch &o, Scratch &f, mpz_ptr e, mpz_srcptr absD,
-                  Scratch *tab /* 8 scratches */, Scratch &f2) {
+                  Scratch *tab /* 8 scratches */, Scratch &f2,
+                  NucompScratch &ns) {
   if (mpz_sgn_(e) == 0) { set_identity(o, absD); return; }
   if (mpz_sgn_(e) < 0) { neg_form(f); __gmpz_neg(e, e); }
   reduce(f, absD);
@@ -219,17 +360,17 @@ static void nupow(Scratch &o, Scratch &f, mpz_ptr e, mpz_srcptr absD,
     return;
   }
   const int w = 4;
-  nudupl(f2, f, absD);
+  nudupl(f2, ns, f, absD);
   __gmpz_set(tab[0].a, f.a); __gmpz_set(tab[0].b, f.b);
   __gmpz_set(tab[0].c, f.c);
   for (int i = 1; i < (1 << (w - 1)); i++)
-    compose(tab[i], tab[i - 1], f2, absD);  // tab[i] = f^(2i+1)
+    compose(tab[i], ns, tab[i - 1], f2, absD);  // tab[i] = f^(2i+1)
   long nb = (long)__gmpz_sizeinbase(e, 2);
   long j = nb - 1;
   bool have = false;
   while (j >= 0) {
     if (!__gmpz_tstbit(e, (unsigned long)j)) {
-      if (have) { nudupl(f2, o, absD);
+      if (have) { nudupl(f2, ns, o, absD);
         __gmpz_swap(o.a, f2.a); __gmpz_swap(o.b, f2.b);
         __gmpz_swap(o.c, f2.c); }
       j--;
@@ -248,10 +389,10 @@ static void nupow(Scratch &o, Scratch &f, mpz_ptr e, mpz_srcptr absD,
       have = true;
     } else {
       for (long t = 0; t < width; t++) {
-        nudupl(f2, o, absD);
+        nudupl(f2, ns, o, absD);
         __gmpz_swap(o.a, f2.a); __gmpz_swap(o.b, f2.b); __gmpz_swap(o.c, f2.c);
       }
-      compose(f2, o, tab[digit >> 1], absD);
+      compose(f2, ns, o, tab[digit >> 1], absD);
       __gmpz_swap(o.a, f2.a); __gmpz_swap(o.b, f2.b); __gmpz_swap(o.c, f2.c);
     }
     j = lo - 1;
@@ -300,11 +441,12 @@ void cg_compose_batch(const uint8_t *f1, const int8_t *s1, const uint8_t *f2,
 #pragma omp parallel
   {
     Scratch a, b, o;
+    NucompScratch ns;
 #pragma omp for schedule(static)
     for (int64_t i = 0; i < n; i++) {
       load_form(a, f1, s1, i, stride);
       load_form(b, f2, s2, i, stride);
-      compose(o, a, b, D.absD);
+      compose(o, ns, a, b, D.absD);
       store_form(out, so, i, stride, o);
     }
   }
@@ -318,10 +460,11 @@ void cg_nudupl_batch(const uint8_t *f, const int8_t *s, uint8_t *out,
 #pragma omp parallel
   {
     Scratch a, o;
+    NucompScratch ns;
 #pragma omp for schedule(static)
     for (int64_t i = 0; i < n; i++) {
       load_form(a, f, s, i, stride);
-      nudupl(o, a, D.absD);
+      nudupl(o, ns, a, D.absD);
       store_form(out, so, i, stride, o);
     }
   }
@@ -340,6 +483,7 @@ void cg_nupow_shared_batch(const uint8_t *f, const int8_t *s,
 #pragma omp parallel
   {
     Scratch base, chain, tmp, negv;
+    NucompScratch ns;
     Scratch *acc = new Scratch[(size_t)p];
     mpz_t *e = new mpz_t[(size_t)p];
     bool *neg_e = new bool[(size_t)p];
@@ -377,13 +521,13 @@ void cg_nupow_shared_batch(const uint8_t *f, const int8_t *s,
             __gmpz_set(acc[j].c, term->c);
             have[j] = true;
           } else {
-            compose(tmp, acc[j], *term, D.absD);
+            compose(tmp, ns, acc[j], *term, D.absD);
             __gmpz_swap(acc[j].a, tmp.a); __gmpz_swap(acc[j].b, tmp.b);
             __gmpz_swap(acc[j].c, tmp.c);
           }
         }
         if (t + 1 < maxbits) {
-          nudupl(tmp, chain, D.absD);
+          nudupl(tmp, ns, chain, D.absD);
           __gmpz_swap(chain.a, tmp.a); __gmpz_swap(chain.b, tmp.b);
           __gmpz_swap(chain.c, tmp.c);
         }
@@ -407,6 +551,7 @@ void cg_nupow_batch(const uint8_t *f, const int8_t *s, const uint8_t *exps,
 #pragma omp parallel
   {
     Scratch a, o, f2;
+    NucompScratch ns;
     Scratch tab[8];
     mpz_t e;
     __gmpz_init(e);
@@ -415,7 +560,7 @@ void cg_nupow_batch(const uint8_t *f, const int8_t *s, const uint8_t *exps,
       load_form(a, f, s, i, stride);
       __gmpz_import(e, (size_t)elen, -1, 1, 0, 0, exps + i * elen);
       if (esigns[i] < 0) __gmpz_neg(e, e);
-      nupow(o, a, e, D.absD, tab, f2);
+      nupow(o, a, e, D.absD, tab, f2, ns);
       store_form(out, so, i, stride, o);
     }
     __gmpz_clear(e);

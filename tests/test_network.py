@@ -165,6 +165,78 @@ def test_tensor_ct_ct_beaver_matmul(network):
     assert got == want
 
 
+def test_elastic_recovery_and_full_network(toy_hsm):
+    """Kill a CoFHE node MID-SESSION and assert the compute node's next
+    threshold decrypt recovers: the fan-out drops the dead client,
+    refetches topology, reconnects to the surviving combination and — the
+    load-bearing part — recomputes the lexicographic combination rank so
+    the right share bundle is used (smpc/client.py:151-181; reference
+    smpc_client.hpp:232-295). A wrong rank decrypts to garbage, so the
+    value check is the proof. Also covers the setup node's "network full"
+    join arm (reference join_as_node.hpp:387-399)."""
+    os.environ["COFHE_P_OVERRIDE"] = hex(toy_hsm.p)
+    from cofhe_tpu.core import cl_hsm2k
+
+    cl_hsm2k._cached_params.cache_clear()
+    ports = [free_port() for _ in range(5)]
+    setup_nd = NodeDetails("127.0.0.1", str(ports[0]), NodeType.SETUP_NODE)
+    cs_details = CryptoSystemDetails(type="CoFHE_TPU", public_key="",
+                                     security_level=128, k=32, threshold=2,
+                                     total_nodes=3)
+    servers = []
+    cofhe_servers = []
+    try:
+        setup_server, setup_handler = make_setup_node(setup_nd, cs_details)
+        setup_server.run_in_thread()
+        servers.append(setup_server)
+        for i in range(1, 4):
+            nd = NodeDetails("127.0.0.1", str(ports[i]), NodeType.COFHE_NODE)
+            s = make_cofhe_node(nd, setup_nd)
+            s.run_in_thread()
+            servers.append(s)
+            cofhe_servers.append(s)
+        comp_nd = NodeDetails("127.0.0.1", str(ports[4]), NodeType.COMPUTE_NODE)
+        s = make_compute_node(comp_nd, setup_nd)
+        s.run_in_thread()
+        servers.append(s)
+
+        # the network is at total_nodes=3: one more CoFHE join must be
+        # rejected with "network full"
+        from cofhe_tpu.node.nodes import _join
+
+        extra_nd = NodeDetails("127.0.0.1", str(free_port()), NodeType.COFHE_NODE)
+        with pytest.raises(RuntimeError, match="network full"):
+            _join(setup_nd, extra_nd, wire.JoinType.JOIN_AS_COFHE_NODE,
+                  use_tls=False, retries=1)
+
+        client = ClientNode(setup_nd, use_tls=False)
+        cs, pk = client.crypto_system, client.public_key
+
+        def net_decrypt(value):
+            ct = cs.encrypt(pk, cs.make_plaintext(value))
+            dec = client.compute(wire.ComputeRequest(
+                wire.ComputeOperationType.UNARY, wire.ComputeOperation.DECRYPT,
+                [_op(wire.DataType.SINGLE, wire.DataEncryptionType.CIPHERTEXT,
+                     cs.serialize_ciphertext(ct).encode())]))
+            assert dec.status == wire.Status.OK
+            return cs.get_float_from_plaintext(
+                cs.deserialize_plaintext(dec.data.decode()))
+
+        # first decrypt pins the SMPC client to combination (0, 1)
+        assert net_decrypt(11.0) == 11.0
+        # kill the FIRST CoFHE node (member of the active combination)
+        cofhe_servers[0].stop()
+        # next decrypt must ride the elastic path: dead RPC -> drop client
+        # -> topology refresh -> combination (1, 2) -> rank recompute
+        assert net_decrypt(23.0) == 23.0
+        client.close()
+    finally:
+        for s in servers:
+            s.stop()
+        os.environ.pop("COFHE_P_OVERRIDE", None)
+        cl_hsm2k._cached_params.cache_clear()
+
+
 def test_tls_end_to_end(toy_hsm, tmp_path):
     """A setup + CoFHE + compute trio over REAL TLS (self-signed cert,
     client verify_none like the reference, server.hpp:163-168 /
