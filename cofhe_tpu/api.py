@@ -68,6 +68,12 @@ class CryptoSystem:
             raise ValueError("rerandomize must be none|shared|per_op")
         self.rerandomize = rerandomize
         self._engine = None
+        if compact:
+            # compact ciphertexts mix Cl(DeltaK) (c1) and Cl(Delta) (c2)
+            # forms; the batched engines are single-discriminant, so the
+            # compact variant runs element-level (hsm2k routes each group's
+            # ops through its own native GMP backend)
+            device = "host-python"
         if device in ("tpu", "jax", "cpu-jax"):
             # backend selection is JAX-global (JAX_PLATFORMS / jax_platforms
             # config); an optional device mesh shards the batched kernels.
@@ -342,8 +348,12 @@ class CryptoSystem:
         r = self.rand_gen.random_mpz(self.hsm2k.encrypt_randomness_bound())
         c1 = self.hsm2k.power_of_h(r)
         # native GMP when built (hsm2k._nupow); the pure-Python ladder here
-        # was the dominant cost of batch encryption (VERDICT r3 weak #6)
-        pkr = self.hsm2k.nupow(pk, r)
+        # was the dominant cost of batch encryption (VERDICT r3 weak #6).
+        # Compact: pk lives in Cl(DeltaK) — exponentiate there, lift once.
+        if self.hsm2k.compact_variant():
+            pkr = self.hsm2k._lift_pow(self.hsm2k._nupowK(pk, r))
+        else:
+            pkr = self.hsm2k.nupow(pk, r)
         min_batch = getattr(self._engine, "min_batch_encrypt", 2)
         if self._engine is not None and len(pts) >= min_batch and \
                 hasattr(self._engine, "compose_forms_batch"):

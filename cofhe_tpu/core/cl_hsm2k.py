@@ -127,22 +127,18 @@ def _cached_params(security_level: int, k: int) -> int:
 class CLHSM2k:
     def __init__(self, security_level: int, k: int, compact_variant: bool = False,
                  p: int | None = None, distance: int = DEFAULT_STAT_DISTANCE):
-        if compact_variant:
-            # Documented refusal: the compact variant keeps h (and pk/c1
-            # intermediates) in the smaller group Cl(DeltaK) and lifts via
-            # from_Cl_DeltaK_to_Cl_Delta on use (reference call sites
-            # cpu_cryptosystem_vector_ops.inl:11-13). The reference itself
-            # never constructs one (every factory path passes the default,
-            # cofhe.hpp:96-121), so only bandwidth parity is lost. The lift
-            # map exists here (core/qfi.py::lift_form); wiring a DeltaK
-            # generator derivation is future work.
-            raise NotImplementedError(
-                "compact variant not supported: h/pk in Cl(DeltaK) with "
-                "on-use lifting is unimplemented; the reference never "
-                "instantiates it (cofhe.hpp:96-121 always passes default)")
         self.security_level = security_level
         self.k = k
-        self._compact = False
+        # Compact variant (reference cofhe.hpp:96-121 concept arm; lift at
+        # cpu_cryptosystem_vector_ops.inl:11-13): h, pk and c1 live in the
+        # SMALLER group Cl(DeltaK) (coefficients ~|DeltaK| instead of
+        # ~|Delta| bits — less bandwidth, cheaper c1 exponentiations) and
+        # are lifted on use:  x -> lift(x)^(2^(k+1)).  The 2^(k+1) power
+        # annihilates the lift's kernel ambiguity (the kernel of
+        # Cl(Delta) -> Cl(DeltaK) has order 2^(k+1)), so
+        # lift(x^n)^(2^(k+1)) = [lift(x)^(2^(k+1))]^n exactly, which is all
+        # encrypt/decrypt need.
+        self._compact = bool(compact_variant)
         self.distance = distance
         self.p = p if p is not None else _cached_params(security_level, k)
         self.DeltaK = -8 * self.p
@@ -156,7 +152,12 @@ class CLHSM2k:
         # with 2^distance statistical slack; h(DeltaK) < sqrt(|DeltaK|)*log(..)
         class_number_bound = (isqrt(-self.DeltaK) + 1) * self.DeltaK.bit_length()
         self._rand_bound = class_number_bound * (1 << (k + 1)) << distance
-        self.h = self._derive_h()
+        if self._compact:
+            self.identityK = identity_form(self.DeltaK)
+            self.hK = self._derive_hK()   # generator kept in Cl(DeltaK)
+            self.h = self._lift_pow(self.hK)
+        else:
+            self.h = self._derive_h()
         # cached odd-inverse of lambda(t_f)/2 (t_f = -2), used by dlog/power_of_f
         N = self.k + 3
         den = self._formal_log(-2 % (1 << N), N)
@@ -177,24 +178,73 @@ class CLHSM2k:
     def compact_variant(self) -> bool:
         return self._compact
 
+    def _derive_hK(self) -> Form:
+        """Smallest split odd prime form of DeltaK (deterministic given p)."""
+        l = 3
+        while True:
+            if is_prime(l) and kronecker(self.DeltaK, l) == 1:
+                fl = prime_form(self.DeltaK, l)
+                if fl is not None:
+                    return fl
+            l += 2
+
     def _derive_h(self) -> Form:
         """h = (lift of smallest split odd prime form of DeltaK)^(2^(k+1)).
 
         Deterministic given p. The 2^(k+1)-th power kills the kernel
         component, so <h> intersects F trivially (required for IND-CPA per
         the CL framework)."""
-        l = 3
-        while True:
-            if is_prime(l) and kronecker(self.DeltaK, l) == 1:
-                fl = prime_form(self.DeltaK, l)
-                if fl is not None:
-                    break
-            l += 2
+        fl = self._derive_hK()
         t = lift_form(fl, self.DeltaK, self.cond)
         h = t
         for _ in range(self.k + 1):
             h = nudupl(h)
         return h
+
+    # -- compact-variant helpers (Cl(DeltaK) arithmetic + lift-on-use) ------
+    def _composeK(self, f1: Form, f2: Form) -> Form:
+        cgK = self._nativeK
+        if cgK is not None:
+            return cgK.compose_batch([f1], [f2])[0]
+        return compose(f1, f2)
+
+    def _nupowK(self, f: Form, n: int) -> Form:
+        cgK = self._nativeK
+        if cgK is not None:
+            return cgK.nupow_batch([f], [n])[0]
+        return nupow(f, n)
+
+    @property
+    def _nativeK(self):
+        if not hasattr(self, "_nativeK_cg"):
+            import os
+
+            self._nativeK_cg = None
+            if not os.environ.get("COFHE_PURE_PYTHON"):
+                try:
+                    from ..ops.hostgmp import GmpClassGroup
+
+                    self._nativeK_cg = GmpClassGroup(self.DeltaK)
+                except Exception:
+                    pass
+        return self._nativeK_cg
+
+    @staticmethod
+    def _odd_a_rep(f: Form) -> Form:
+        """Equivalent form with `a` coprime to the (2-power) conductor."""
+        if f.a & 1:
+            return f
+        if f.c & 1:
+            return Form(f.c, -f.b, f.a)
+        # primitive with a, c even: a+b+c is odd
+        return Form(f.a + f.b + f.c, f.b + 2 * f.c, f.c)
+
+    def _lift_pow(self, fK: Form) -> Form:
+        """lift(fK)^(2^(k+1)): Cl(DeltaK) -> Cl(Delta), kernel-free."""
+        t = lift_form(self._odd_a_rep(fK), self.DeltaK, self.cond)
+        for _ in range(self.k + 1):
+            t = self._compose(t, t)
+        return t
 
     # -- formal group law helpers (2-adic) ---------------------------------
     def _formal_log(self, t: int, N: int) -> int:
@@ -315,6 +365,9 @@ class CLHSM2k:
         return self._nupow(f, n)
 
     def power_of_h(self, r: int) -> Form:
+        # compact: exponentiate in the small group (c1 stays compact)
+        if self._compact:
+            return self._nupowK(self.hK, r)
         return self._nupow(self.h, r)
 
     # -- scheme -------------------------------------------------------------
@@ -322,6 +375,8 @@ class CLHSM2k:
         return rand_gen.random_mpz(self.secretkey_bound())
 
     def pk_from_sk(self, sk: int) -> Form:
+        if self._compact:
+            return self._nupowK(self.hK, sk)
         return self._nupow(self.h, sk)
 
     def encrypt(self, pk: Form, m: int, rand_gen: RandGen) -> CipherText:
@@ -329,6 +384,12 @@ class CLHSM2k:
         return self.encrypt_with_r(pk, m, r)
 
     def encrypt_with_r(self, pk: Form, m: int, r: int) -> CipherText:
+        if self._compact:
+            # c1 compact; c2 needs pk^r in Cl(Delta):
+            #   lift(pkK^r)^(2^(k+1)) = [lift(pkK)^(2^(k+1))]^r
+            c1 = self._nupowK(self.hK, r)
+            pkr = self._lift_pow(self._nupowK(pk, r))
+            return CipherText(c1, self._compose(self.power_of_f(m), pkr))
         c1 = self._nupow(self.h, r)
         pkr = self._nupow(pk, r)
         return CipherText(c1, self._compose(self.power_of_f(m), pkr))
@@ -336,20 +397,29 @@ class CLHSM2k:
     def encrypt_with_parts(self, m: int, c1: Form, pkr: Form) -> CipherText:
         """Shared-randomness batch encryption: c1 = h^r and pkr = pk^r are
         computed once per batch (reference encrypt_vector trick,
-        cpu_cryptosystem_vector_ops.inl:4-18)."""
+        cpu_cryptosystem_vector_ops.inl:4-18). In compact mode pkr must
+        already be the LIFTED pk^r (see encrypt_with_r)."""
         return CipherText(c1, self._compose(self.power_of_f(m), pkr))
 
     def decrypt(self, sk: int, ct: CipherText) -> int:
-        c1sk = self._nupow(ct.c1, sk)
+        if self._compact:
+            c1sk = self._lift_pow(self._nupowK(ct.c1, sk))
+        else:
+            c1sk = self._nupow(ct.c1, sk)
         fm = self._compose(ct.c2, neg(c1sk))
         return self.dlog_in_F(fm)
 
     def add_ciphertexts(self, ct1: CipherText, ct2: CipherText) -> CipherText:
+        if self._compact:
+            return CipherText(self._composeK(ct1.c1, ct2.c1),
+                              self._compose(ct1.c2, ct2.c2))
         return CipherText(self._compose(ct1.c1, ct2.c1), self._compose(ct1.c2, ct2.c2))
 
     def scal_ciphertext(self, ct: CipherText, s: int) -> CipherText:
         if s < 0:
             raise ValueError("plaintext scalar must be non-negative")
+        if self._compact:
+            return CipherText(self._nupowK(ct.c1, s), self._nupow(ct.c2, s))
         return CipherText(self._nupow(ct.c1, s), self._nupow(ct.c2, s))
 
     def negate_ciphertext(self, ct: CipherText) -> CipherText:
@@ -358,7 +428,12 @@ class CLHSM2k:
     # -- threshold ----------------------------------------------------------
     def part_decrypt(self, ct: CipherText, sk_share: int) -> Form:
         """d_i = c1^{s_i} (reference partDecrypt,
-        cpu_cryptosystem_distributed.inl:244-254)."""
+        cpu_cryptosystem_distributed.inl:244-254). Compact: the partial
+        decryption result is lifted to Cl(Delta) so combination is
+        variant-agnostic (the lift commutes with the share sum under the
+        2^(k+1) power)."""
+        if self._compact:
+            return self._lift_pow(self._nupowK(ct.c1, sk_share))
         return self._nupow(ct.c1, sk_share)
 
     def final_decrypt(self, ct: CipherText, ds: list[Form]) -> int:

@@ -85,9 +85,17 @@ class CG:
 
             use_pallas_mu = env_enabled_mu(False)
         self.use_pallas_mu = use_pallas_mu
-        # NUCOMP tail (Lehmer-grouped partial reduction) — default ON;
-        # COFHE_NUCOMP=0 restores the full-reduction tail for A/B
-        self.use_nucomp = os.environ.get("COFHE_NUCOMP", "1") != "0"
+        # NUCOMP tail (Lehmer-grouped partial reduction) — OPT-IN
+        # (COFHE_NUCOMP=1). Measured on a v5e at the real matmul-ladder
+        # distribution (B=16384, round 4): the Lehmer loop needs ~143
+        # groups (the CF of mu/2B is ~300 small quotients; 2^13 matrix
+        # entries cap progress at ~13 bits/group) and the cofactor-form
+        # muls add ~150 ms/step, vs the plain rho-descent tail's ~147 ms
+        # 3-array loop — NUCOMP loses end-to-end (24.7 s vs 12.8 s per
+        # ladder) even though it wins on the 8-distinct-pair micro. The
+        # C++ host backend keeps NUCOMP (GMP's subquadratic big-word muls
+        # make the cofactor products nearly free there).
+        self.use_nucomp = os.environ.get("COFHE_NUCOMP", "0") == "1"
         self.disc_bits = disc_bits
         L, Lh = CGCtx.widths_for_disc_bits(disc_bits)
         self.L = L
@@ -431,10 +439,16 @@ class CG:
         rp, rc, xp, xc, yp, yc, par = rl.lehmer_euclid(
             lb.resize(m2x2, L), lb.resize(mu, L), bits_stop, self.eu_groups)
         del rp, rc  # the cofactors alone determine the transformed form
+        # cofactors are bounded by the euclid's y-cap (~bits(2B) - bits(T)
+        # + slack <= 16*Lh even for wide-rotation lanes) — truncating them
+        # halves every product below
+        Lxy = min(self.Lh, L)
         sxp, mxp = lb.canonicalize_fast(xp)
         sxc, mxc = lb.canonicalize_fast(xc)
         syp, myp = lb.canonicalize_fast(yp)
         syc, myc = lb.canonicalize_fast(yc)
+        mxp, mxc = lb.resize(mxp, Lxy), lb.resize(mxc, Lxy)
+        myp, myc = lb.resize(myp, Lxy), lb.resize(myc, Lxy)
 
         def term(sa, ma, sb, mb, coeff_mag, coeff_sign=None):
             prod = lb.mag_mul(ma, mb)

@@ -364,8 +364,44 @@ def lehmer_euclid(r0_mag, r1_mag, bits_stop, max_groups: int,
         rp, rc, xp, xc, yp, yc, par, _w, it = state
         mant_p, top_p, bits_p = ests(rp)
         mant_c, top_c, bits_c = ests(rc)
-        # top-word approximations aligned at rp's scale, ~27 significant
-        # bits; int64-free (values < 2^28)
+        _, _, bits_y = ests(yc)
+        # fresh per-lane work mask (the carried copy only feeds cond, one
+        # group stale — worth it to est each row once per group)
+        w_f = active & (bits_c > bits_stop) & (bits_y < y_cap)
+        lane_on = (_w != 0) & w_f  # finished lanes get identity updates
+        # CF quotients above the 2^13 matrix-entry bound cannot be
+        # expressed by the Lehmer group at all (a clamped 13-bit quotient
+        # makes ~zero progress against a 100-bit gap — round-4 ladder
+        # stall: P(quotient > 2^13) ~ 2^-13 per CF step guarantees such
+        # lanes at B=16k). Those lanes instead take ONE shifted ~24-bit
+        # digit step per group (exact, unimodular, no swap):
+        #   (rp, xp, yp) -= qd * 2^(16 jj) * (rc, xc, yc)
+        big = lane_on & (bits_p - bits_c > 20.0)
+        sc = jnp.sign(mant_c).astype(jnp.int32)
+        qd, jj = digit_est(mant_p, top_p, jnp.abs(mant_c), top_c,
+                           max_digit_bits=24)
+        qd = jnp.where(big, qd * sc, 0)
+
+        def submul_shift_red(x, v):
+            s = jnp.sign(qd)
+            a = jnp.abs(qd)
+            lo = (a & 0xFFF) * s
+            hi = (a >> 12) * s
+            v12 = carry_pass(v << 12)
+            p = carry_pass(lo[..., None] * v) + carry_pass(hi[..., None] * v12)
+            return carry_pass(x - shl_limbs_take(p, jj))
+
+        # the digit machinery (~27 elementwise passes) only runs when some
+        # lane actually faces a big gap — a real XLA conditional, since most
+        # groups have none
+        rp_d, xp_d, yp_d = jax.lax.cond(
+            jnp.any(big),
+            lambda: (submul_shift_red(rp, rc), submul_shift_red(xp, xc),
+                     submul_shift_red(yp, yc)),
+            lambda: (rp, xp, yp))
+
+        # Lehmer group for the in-range lanes: top-word approximations
+        # aligned at rp's scale, ~27 significant bits (values < 2^28)
         sh = (jnp.maximum(bits_p, bits_c) - 26.0)
         up = jnp.round(mant_p * pow2f(
             jnp.clip((16 * top_p).astype(jnp.float32) - sh, -126.0,
@@ -379,12 +415,12 @@ def lehmer_euclid(r0_mag, r1_mag, bits_stop, max_groups: int,
         mc0 = jnp.zeros_like(up)
         mc1 = jnp.ones_like(up)
         parg = jnp.zeros_like(up)
-        lane_on = _w != 0  # finished lanes must get identity matrices
+        sim_on = lane_on & jnp.logical_not(big)
         for _ in range(sim_steps):
             emax = jnp.maximum(jnp.abs(mc0), jnp.abs(mc1))
             epmx = jnp.maximum(jnp.abs(mp0), jnp.abs(mp1))
             qmax = (LIM - epmx) // jnp.maximum(emax, 1)
-            can = lane_on & (jnp.abs(vc) > 32) & (qmax > 0)
+            can = sim_on & (jnp.abs(vc) > 32) & (qmax > 0)
             q = jnp.clip(up // jnp.where(vc == 0, 1, vc), -qmax, qmax)
             q = jnp.where(can, q, 0)
             up2 = jnp.where(can, vc, up)
@@ -396,26 +432,21 @@ def lehmer_euclid(r0_mag, r1_mag, bits_stop, max_groups: int,
             parg = parg ^ can.astype(jnp.int32)
             up, vc, mp0, mp1, mc0, mc1 = up2, vc2, np0, np1, nc0, nc1
         # apply the group matrix to the full-width rows (entries <= 2^13,
-        # balanced limbs < ~2^15.3: products < 2^29 — int32-exact)
-        def app(a0, a1, pv, cv):
-            return carry_pass(a0[..., None] * pv + a1[..., None] * cv)
+        # balanced limbs < ~2^15.3: products < 2^29 — int32-exact); big
+        # lanes take their digit-step result instead (their matrix is the
+        # identity by construction)
+        def app(a0, a1, pv, cv, dv):
+            out = carry_pass(a0[..., None] * pv + a1[..., None] * cv)
+            return jnp.where(big[..., None], dv, out)
 
-        rp2 = app(mp0, mp1, rp, rc)
-        rc2 = app(mc0, mc1, rp, rc)
-        xp2 = app(mp0, mp1, xp, xc)
-        xc2 = app(mc0, mc1, xp, xc)
-        yp2 = app(mp0, mp1, yp, yc)
-        yc2 = app(mc0, mc1, yp, yc)
+        rp2 = app(mp0, mp1, rp, rc, rp_d)
+        rc2 = app(mc0, mc1, rp, rc, rc)
+        xp2 = app(mp0, mp1, xp, xc, xp_d)
+        xc2 = app(mc0, mc1, xp, xc, xc)
+        yp2 = app(mp0, mp1, yp, yc, yp_d)
+        yc2 = app(mc0, mc1, yp, yc, yc)
         par2 = par ^ parg
-        # continue-lanes: |rc| still above threshold and yc within cap
-        _, _, bits_c2 = ests(rc2)
-        _, _, bits_y2 = ests(yc2)
-        w2 = (active & (bits_c2 > bits_stop)
-              & (bits_y2 < y_cap)).astype(jnp.int32)
-        # freeze finished lanes (their matrix was identity when parg==0,
-        # but a group may overshoot: keep the post-group state — the
-        # invariants hold either way)
-        return rp2, rc2, xp2, xc2, yp2, yc2, par2, w2, it + 1
+        return rp2, rc2, xp2, xc2, yp2, yc2, par2, w_f.astype(jnp.int32), it + 1
 
     w0 = (active & (bits_est(*value_est(r1_mag)) > bits_stop)).astype(jnp.int32)
     state0 = (carry_pass(r0_mag.astype(jnp.int32)),

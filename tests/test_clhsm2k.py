@@ -97,3 +97,60 @@ def test_combination_rank():
     n, t = 5, 3
     for i, combo in enumerate(combinations(range(n), t)):
         assert liss.combination_rank(combo, n) == i
+
+
+def test_compact_variant(rng):
+    """Compact variant (cofhe.hpp:96-121 arm; lift call sites
+    cpu_cryptosystem_vector_ops.inl:11-13): h/pk/c1 live in Cl(DeltaK),
+    lifted on use as lift(x)^(2^(k+1)). Roundtrip, homomorphisms, threshold
+    decryption, and the bandwidth claim (c1 coefficients at DeltaK size)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import toy_prime
+
+    hsm = CLHSM2k(128, 32, p=toy_prime(100), compact_variant=True)
+    assert hsm.compact_variant()
+    sk = hsm.keygen(rng)
+    pk = hsm.pk_from_sk(sk)
+    assert pk.disc == hsm.DeltaK  # pk stays in the small group
+    M = hsm.M
+    for m in (0, 1, M - 1, random.randrange(M), random.randrange(M)):
+        ct = hsm.encrypt(pk, m, rng)
+        assert ct.c1.disc == hsm.DeltaK and ct.c2.disc == hsm.Delta
+        assert hsm.decrypt(sk, ct) == m
+    # homomorphisms
+    m1, m2, s = random.randrange(M), random.randrange(M), random.randrange(1000)
+    ct1, ct2 = hsm.encrypt(pk, m1, rng), hsm.encrypt(pk, m2, rng)
+    assert hsm.decrypt(sk, hsm.add_ciphertexts(ct1, ct2)) == (m1 + m2) % M
+    assert hsm.decrypt(sk, hsm.scal_ciphertext(ct1, s)) == (m1 * s) % M
+    assert hsm.decrypt(sk, hsm.negate_ciphertext(ct1)) == (-m1) % M
+    # threshold t-of-n with rank-indexed bundles
+    t, n = 2, 3
+    shares = liss.share_secret(sk, n, t, hsm.encrypt_randomness_bound(), rng)
+    ct = hsm.encrypt(pk, m1, rng)
+    for combo in combinations(range(n), t):
+        sh = [shares[pm][liss.share_index_for_party(pm, combo, n)]
+              for pm in combo]
+        pdrs = [hsm.part_decrypt(ct, s) for s in sh]
+        assert pdrs[0].disc == hsm.Delta  # PDRs are lifted
+        assert hsm.final_decrypt(ct, pdrs) == m1
+
+
+def test_compact_variant_api_facade(rng):
+    """CryptoSystem(compact=True) end-to-end through the facade."""
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import toy_prime
+    from cofhe_tpu.api import CryptoSystem
+    from cofhe_tpu.tensor import Tensor
+
+    cs = CryptoSystem(128, 32, compact=True, p=toy_prime(100), seed=b"cv")
+    assert cs._engine is None  # element-level path (mixed discriminants)
+    sk = cs.keygen()
+    pk = cs.keygen(sk)
+    vals = [random.randrange(cs.hsm2k.M) for _ in range(4)]
+    ct = cs.encrypt_tensor(pk, Tensor(vals, (2, 2)))
+    assert cs.decrypt_tensor(sk, ct).data == vals
+    assert "1" in cs.serialize().split()[-1]  # compact flag round-trips
+    cs2 = CryptoSystem.deserialize(cs.serialize())
+    assert cs2.hsm2k.compact_variant()
