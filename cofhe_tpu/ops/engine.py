@@ -229,11 +229,26 @@ class JaxEngine:
     # batched encrypt only pays off once the compose compile amortizes
     min_batch_encrypt = 64
 
+    # Kernel batches are capped: one jit at B>32k (and sometimes >16k)
+    # crashes the remote compile worker / OOMs the bank state, and the
+    # cap means large network workloads reuse ONE compiled kernel per
+    # chunk instead of compiling per bucket size. Env: COFHE_MAX_BATCH.
+    max_batch = int(__import__("os").environ.get("COFHE_MAX_BATCH", "16384"))
+
+    def _chunks(self, n: int):
+        step = self.max_batch
+        return [(s, min(s + step, n)) for s in range(0, n, step)]
+
     # ------------------------------------------------------------------- ops
     def compose_forms_batch(self, forms1, forms2):
         """Elementwise class-group composition over raw forms (batched
         encrypt / combine paths)."""
         n = len(forms1)
+        if n > self.max_batch:
+            out = []
+            for s, e in self._chunks(n):
+                out.extend(self.compose_forms_batch(forms1[s:e], forms2[s:e]))
+            return out
         batch = _bucket(n)
         bf1 = self._forms_to_bform(forms1, batch)
         bf2 = self._forms_to_bform(forms2, batch)
@@ -241,6 +256,11 @@ class JaxEngine:
         return bform_to_forms(self._fetch(out))[:n]
 
     def add_batch(self, cts1, cts2):
+        if 2 * len(cts1) > self.max_batch:
+            out = []
+            for s, e in self._chunks(len(cts1)):
+                out.extend(self.add_batch(cts1[s:e], cts2[s:e]))
+            return out
         bf1, n, batch = self._cts_to_bform(cts1)
         bf2, _, _ = self._cts_to_bform(cts2)
         out = self._add_kernel(batch)(bf1, bf2)
@@ -248,6 +268,11 @@ class JaxEngine:
 
     def scal_batch(self, scalars, cts):
         n = len(cts)
+        if 2 * n > self.max_batch:
+            out = []
+            for s, e in self._chunks(n):
+                out.extend(self.scal_batch(scalars[s:e], cts[s:e]))
+            return out
         bf, _, batch = self._cts_to_bform(cts)
         nwind = nwind_for_bits(self.hsm.k, YAO_W)
         # layout from _cts_to_bform: [c1 x n, c2 x n, identity pad...]
@@ -261,6 +286,11 @@ class JaxEngine:
     def part_decrypt_batch(self, share: int, cts):
         """d_i = c1^share for every ct (shared exponent)."""
         n = len(cts)
+        if n > self.max_batch:
+            out = []
+            for s, e in self._chunks(n):
+                out.extend(self.part_decrypt_batch(share, cts[s:e]))
+            return out
         batch = _bucket(n)
         bf = self._forms_to_bform([ct.c1 for ct in cts], batch)
         if share == 0:
@@ -310,6 +340,12 @@ class JaxEngine:
 
         t = len(pdrs_per_party)
         n = len(cts)
+        if n > self.max_batch:
+            out = []
+            for s, e in self._chunks(n):
+                out.extend(self.combine_batch(
+                    cts[s:e], [p[s:e] for p in pdrs_per_party]))
+            return out
         batch = _bucket(n)
         # lambda applied host-side: invert every party's shares but the
         # first (form negation = b sign flip + boundary re-reduce)
@@ -336,6 +372,11 @@ class JaxEngine:
         from ..core.qfi import neg as qneg, reduce_form
 
         n = len(cts)
+        if n > self.max_batch:
+            out = []
+            for s, e in self._chunks(n):
+                out.extend(self.decrypt_batch(sk, cts[s:e]))
+            return out
         c1sk = self.part_decrypt_batch(sk, cts)
         batch = _bucket(n)
         inv = [reduce_form(qneg(f)) for f in c1sk]

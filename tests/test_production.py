@@ -130,3 +130,32 @@ def test_production_serialization_roundtrip_64x64(prod_network):
           f"({len(blob)/1e6:.1f} MB)")
     assert back.shape == (64, 64)
     assert all(back.data[i] == ct.data[i] for i in range(0, 4096, 511))
+
+
+def test_sharded_matmul_production_widths():
+    """Compile-check (and execute once) the dp x tp sharded matmul at the
+    PRODUCTION limb widths (sec=128, k=128, L=144) on a 2-device virtual
+    CPU mesh, so the first real multi-chip session is not the first
+    compile (VERDICT r3 weak #8). Tiny element counts keep runtime sane;
+    the widths are what stress the compiler."""
+    import random
+
+    import jax
+
+    from cofhe_tpu.api import CryptoSystem
+    from cofhe_tpu.parallel import sharded
+
+    mesh = sharded.make_mesh(devices=jax.devices()[:2], dp=1, tp=2)
+    cs = CryptoSystem(128, 128, device="tpu", mesh=mesh, seed=b"prodmesh")
+    sk = cs.keygen()
+    pk = cs.keygen(sk)
+    M = cs.hsm2k.M
+    random.seed(3)
+    n, m, p = 1, 2, 1   # 2n % dp == 0, m % tp == 0
+    ctv = [random.randrange(M) for _ in range(n * m)]
+    sv = [random.randrange(1 << 30) for _ in range(m * p)]
+    ct = cs.encrypt_tensor(pk, Tensor(ctv, (n, m)))
+    res = cs.scal_ciphertext_tensors(pk, Tensor(sv, (m, p)), ct)
+    dec = cs.decrypt_tensor(sk, res)
+    expect = sum(ctv[j] * sv[j] for j in range(m)) % M
+    assert dec.at(0, 0) == expect
