@@ -235,8 +235,8 @@ class JaxEngine:
     # chunk instead of compiling per bucket size. Env: COFHE_MAX_BATCH.
     max_batch = int(__import__("os").environ.get("COFHE_MAX_BATCH", "16384"))
 
-    def _chunks(self, n: int):
-        step = self.max_batch
+    def _chunks(self, n: int, step: int | None = None):
+        step = step or self.max_batch
         return [(s, min(s + step, n)) for s in range(0, n, step)]
 
     # ------------------------------------------------------------------- ops
@@ -258,7 +258,8 @@ class JaxEngine:
     def add_batch(self, cts1, cts2):
         if 2 * len(cts1) > self.max_batch:
             out = []
-            for s, e in self._chunks(len(cts1)):
+            # ct batches stack (c1, c2) -> 2n rows: chunk at max_batch/2
+            for s, e in self._chunks(len(cts1), self.max_batch // 2):
                 out.extend(self.add_batch(cts1[s:e], cts2[s:e]))
             return out
         bf1, n, batch = self._cts_to_bform(cts1)
@@ -270,7 +271,7 @@ class JaxEngine:
         n = len(cts)
         if 2 * n > self.max_batch:
             out = []
-            for s, e in self._chunks(n):
+            for s, e in self._chunks(n, self.max_batch // 2):
                 out.extend(self.scal_batch(scalars[s:e], cts[s:e]))
             return out
         bf, _, batch = self._cts_to_bform(cts)
