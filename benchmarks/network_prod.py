@@ -59,6 +59,10 @@ def main():
         args.n = args.m = args.p = 2
     n, m, p = args.n, args.m, args.p
     os.environ.setdefault("COFHE_TRIPLET_CACHE", str(n * m * p))
+    # a 32k-element threshold decrypt legitimately takes tens of minutes
+    # on one chip; the default 120 s RPC timeout would declare the node
+    # dead mid-compute (must be set before cofhe_tpu.node.client imports)
+    os.environ.setdefault("COFHE_RPC_TIMEOUT", "7200")
 
     if args.device == "tpu":
         # warm the first device->host fetch ONCE, single-threaded, before

@@ -24,9 +24,13 @@ def make_client_ssl_context(verify_file: str | None = None) -> ssl.SSLContext:
     return ctx
 
 
+_DEFAULT_TIMEOUT = float(__import__("os").environ.get("COFHE_RPC_TIMEOUT",
+                                                      "120"))
+
+
 class Client:
     def __init__(self, host: str, port: int, ssl_context: ssl.SSLContext | None = None,
-                 keep_alive: bool = True, timeout: float = 120.0):
+                 keep_alive: bool = True, timeout: float = _DEFAULT_TIMEOUT):
         self.host = host
         self.port = port
         self.ssl_context = ssl_context

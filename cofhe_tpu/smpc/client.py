@@ -176,7 +176,8 @@ class SMPCClient:
                         cl.close()
                     except OSError:
                         pass
-                    self._pd_clients.remove(cl)
+                    if cl in self._pd_clients:
+                        self._pd_clients.remove(cl)
                 self.refresh_topology()
         raise RuntimeError("threshold fan-out failed after elastic reinit")
 
