@@ -117,7 +117,9 @@ class ClientNode:
         import os as _os
 
         if timeout is None:
-            timeout = float(_os.environ.get("COFHE_CLIENT_TIMEOUT_S", "120"))
+            timeout = float(_os.environ.get(
+                "COFHE_CLIENT_TIMEOUT_S",
+                _os.environ.get("COFHE_RPC_TIMEOUT", "120")))
         from ..api import CryptoSystem
 
         self.self_node = NodeDetails("127.0.0.1", "0", NodeType.CLIENT_NODE)
