@@ -45,6 +45,36 @@ from .nupow2 import (identity_bform2, nupow_shared_wnaf2, nupow_yao2,
 
 YAO_W = 4  # signed-digit window for per-element exponents
 
+# COFHE_ENGINE_SERIALIZE=1: one batched op on the device at a time,
+# process-wide. The axon tunnel's worker intermittently crashes under
+# concurrent dispatch from multiple threads (e.g. an in-process network's
+# threshold fan-out driving two CoFHE-node engines at once); on real
+# multi-host deployments each host has its own runtime and this is moot.
+import threading as _threading
+from contextlib import nullcontext as _nullcontext
+
+_DISPATCH_LOCK = _threading.RLock()
+
+
+def _dispatch_guard():
+    import os
+
+    if os.environ.get("COFHE_ENGINE_SERIALIZE") == "1":
+        return _DISPATCH_LOCK
+    return _nullcontext()
+
+
+
+def _serialized(fn):
+    """Optional process-wide dispatch serialization (see _dispatch_guard)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        with _dispatch_guard():
+            return fn(*a, **kw)
+
+    return wrapper
 
 def _bucket(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
@@ -240,6 +270,7 @@ class JaxEngine:
         return [(s, min(s + step, n)) for s in range(0, n, step)]
 
     # ------------------------------------------------------------------- ops
+    @_serialized
     def compose_forms_batch(self, forms1, forms2):
         """Elementwise class-group composition over raw forms (batched
         encrypt / combine paths)."""
@@ -255,6 +286,7 @@ class JaxEngine:
         out = self._add_kernel(batch)(bf1, bf2)
         return bform_to_forms(self._fetch(out))[:n]
 
+    @_serialized
     def add_batch(self, cts1, cts2):
         if 2 * len(cts1) > self.max_batch:
             out = []
@@ -267,6 +299,7 @@ class JaxEngine:
         out = self._add_kernel(batch)(bf1, bf2)
         return self._bform_to_cts(self._fetch(out), n)
 
+    @_serialized
     def scal_batch(self, scalars, cts):
         n = len(cts)
         if 2 * n > self.max_batch:
@@ -284,6 +317,7 @@ class JaxEngine:
         out = self._scal_kernel(batch, nwind)(bf, jnp.asarray(digits))
         return self._bform_to_cts(self._fetch(out), n)
 
+    @_serialized
     def part_decrypt_batch(self, share: int, cts):
         """d_i = c1^share for every ct (shared exponent)."""
         n = len(cts)
@@ -332,6 +366,7 @@ class JaxEngine:
 
         return jax.jit(k)
 
+    @_serialized
     def combine_batch(self, cts, pdrs_per_party):
         """final_decrypt over a batch: d = d_0 ∘ (d_1 ∘ ... ∘ d_{t-1})^-1
         (lambda = (1,-1,...,-1)), m = dlog(c2 ∘ d^-1) — batched tree +
@@ -367,6 +402,7 @@ class JaxEngine:
         forms = bform_to_forms(self._fetch(fm))[:n]
         return [self.hsm.dlog_in_F(f) for f in forms]
 
+    @_serialized
     def decrypt_batch(self, sk: int, cts):
         """m = dlog(c2 * (c1^sk)^-1): batched shared-exponent pow + batched
         compose, then the O(1) host dlog per element."""
@@ -405,6 +441,7 @@ class JaxEngine:
         rows = max(1, 8192 // max(1, m * p))
         return rows
 
+    @_serialized
     def scal_matmul(self, s_tensor, ct_tensor, zero_ct: CipherText):
         """ct (n,m) x s (m,p) -> (n,p); row-chunked fused jits (module doc)."""
         from ..tensor import Tensor
