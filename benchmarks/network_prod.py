@@ -52,7 +52,11 @@ def main():
     ap.add_argument("--k", type=int, default=256)
     ap.add_argument("--sec", type=int, default=128)
     ap.add_argument("--device", default="tpu",
-                    help="data-plane device for CoFHE/compute nodes")
+                    help="data-plane device for the compute node")
+    ap.add_argument("--cofhe-device", default=None,
+                    help="data-plane device for CoFHE nodes (default: same "
+                         "as --device; 'host' sidesteps the TPU runtime's "
+                         "crash on ~1500-step wNAF scans at k=256/B>=8192)")
     ap.add_argument("--toy", action="store_true")
     args = ap.parse_args()
     if args.toy:
@@ -100,9 +104,10 @@ def main():
     setup_server.run_in_thread()
     servers.append(setup_server)
     note(f"setup node up (dealer keygen) {time.time()-t0:.1f}s")
+    cofhe_dev = args.cofhe_device or args.device
     for i in range(1, 4):
         nd = NodeDetails("127.0.0.1", str(ports[i]), NodeType.COFHE_NODE)
-        s = make_cofhe_node(nd, setup_nd, device=args.device)
+        s = make_cofhe_node(nd, setup_nd, device=cofhe_dev)
         s.run_in_thread()
         servers.append(s)
     comp_nd = NodeDetails("127.0.0.1", str(ports[4]), NodeType.COMPUTE_NODE)
