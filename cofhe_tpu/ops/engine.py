@@ -214,15 +214,26 @@ class JaxEngine:
             return jax.jit(k, in_shardings=(bsh, dsh), out_shardings=bsh)
         return jax.jit(k)
 
-    @functools.lru_cache(maxsize=32)
-    def _shared_wnaf_kernel(self, batch: int, sched_len: int, w: int):
+    # fixed wNAF segment length: the TPU runtime crashes on single
+    # ~1500-step scans (k=256 part_decrypt, round 4); chained fixed
+    # segments keep the accumulator on device and cache ONE kernel per
+    # (batch, WNAF_SEG, w) for every exponent length
+    WNAF_SEG = 128
+
+    @functools.lru_cache(maxsize=16)
+    def _wnaf_bank_kernel(self, batch: int, w: int):
+        from .nupow2 import make_wnaf_bank
+
         cg = self.cg
+        return jax.jit(lambda base: make_wnaf_bank(cg, base, w=w))
 
-        @jax.jit
-        def k(base, sched):
-            return nupow_shared_wnaf2(cg, base, sched, w=w)
+    @functools.lru_cache(maxsize=16)
+    def _wnaf_segment_kernel(self, batch: int, w: int):
+        from .nupow2 import wnaf_segment
 
-        return k
+        cg = self.cg
+        return jax.jit(lambda bank, r, seg: wnaf_segment(cg, bank, r, seg,
+                                                         w=w))
 
     def _mesh_dims(self):
         if self.mesh is None:
@@ -332,14 +343,20 @@ class JaxEngine:
             return [self._identity_form] * n
         neg = share < 0
         e = abs(share)
-        # width-5 wNAF schedule, front-padded to a multiple of 64 so the
-        # kernel caches by a coarse length bucket, not the exact exponent
+        # width-5 wNAF schedule, front-padded to a multiple of WNAF_SEG
+        # (leading zero digits on an identity accumulator are harmless
+        # nudupls of the identity); chained fixed-length segments, result
+        # resident on device between segments
         w = 5
         sched = wnaf_digits(e, w)
-        sched = [0] * ((-len(sched)) % 64) + sched
-        out = self._shared_wnaf_kernel(batch, len(sched), w)(
-            bf, jnp.asarray(sched, jnp.int32))
-        forms = bform_to_forms(self._fetch(out))[:n]
+        sched = [0] * ((-len(sched)) % self.WNAF_SEG) + sched
+        bank = self._wnaf_bank_kernel(batch, w)(bf)
+        seg_k = self._wnaf_segment_kernel(batch, w)
+        r = identity_bform2(self.cg, batch)
+        for s in range(0, len(sched), self.WNAF_SEG):
+            r = seg_k(bank, r, jnp.asarray(sched[s:s + self.WNAF_SEG],
+                                           jnp.int32))
+        forms = bform_to_forms(self._fetch(r))[:n]
         if neg:
             from ..core.qfi import neg as qneg, reduce_form
 

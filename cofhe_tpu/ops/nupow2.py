@@ -154,6 +154,48 @@ def wnaf_digits(e: int, w: int) -> list[int]:
     return digits[::-1] or [0]
 
 
+def make_wnaf_bank(cg: CG, base: BForm, w: int = 5) -> BForm:
+    """Odd-power table bank[i] = base^(2i+1), (nslots, batch, L)."""
+    nslots = 1 << (w - 2)
+    sq = cg.nudupl2(base)
+
+    def tab_body(prev, _):
+        nxt = cg.compose2(prev, sq)
+        return nxt, prev
+
+    _, tab = jax.lax.scan(tab_body, base, None, length=nslots)
+    return BForm(tab.a, tab.b_sign, tab.b, tab.c)
+
+
+def wnaf_segment(cg: CG, bank: BForm, r: BForm, sched_seg, w: int = 5) -> BForm:
+    """Run one fixed-length segment of the shared-exponent wNAF ladder:
+    r <- r^(2^len(seg)) * prod(bank digits). The engine chains segments
+    with the accumulator resident on device — the TPU runtime reproducibly
+    crashes on single ~1500-step scans at k=256 widths (round 4), and
+    fixed segments also mean ONE cached kernel per (batch, seg, w) instead
+    of one per exponent-length bucket."""
+    sched_seg = jnp.asarray(sched_seg, jnp.int32)
+
+    def body(rr, d):
+        rr = cg.nudupl2(rr)
+
+        def with_compose(r2):
+            idx = (jnp.abs(d) - 1) // 2
+            t = BForm(jax.lax.dynamic_index_in_dim(bank.a, idx, 0, False),
+                      jax.lax.dynamic_index_in_dim(bank.b_sign, idx, 0, False),
+                      jax.lax.dynamic_index_in_dim(bank.b, idx, 0, False),
+                      jax.lax.dynamic_index_in_dim(bank.c, idx, 0, False))
+            t = bform_select(jnp.broadcast_to(d < 0, t.b_sign.shape),
+                             bform_neg(t), t)
+            return cg.compose2(r2, t)
+
+        rr = jax.lax.cond(d != 0, with_compose, lambda r2: r2, rr)
+        return rr, None
+
+    r, _ = jax.lax.scan(body, r, sched_seg)
+    return r
+
+
 def nupow_shared_wnaf2(cg: CG, base: BForm, sched, w: int = 5) -> BForm:
     """base^e for a HOST-KNOWN shared exponent (part_decrypt / decrypt /
     power-of-h): width-w wNAF over an odd-power table, v2 kernels.
