@@ -481,15 +481,41 @@ class JaxEngine:
         # finalization over all chunks' contracted banks and ONE fetch —
         # per-chunk finalization at 2*nr*p lanes is latency-bound and was
         # ~1/3 of wall-clock at the reference shape.
-        sbs = []
-        nchunks = 0
+        chunk_rows = []
         for start in range(0, n, chunk):
             rows = list(range(start, min(start + chunk, n)))
-            rows_p = rows + [rows[0]] * (chunk - len(rows))  # pad, drop later
-            sbs.append(self._scal_matmul_rows(rows_p, recoded, ct_tensor,
-                                              zero_ct, m, p,
-                                              smallbank_only=True))
-            nchunks += 1
+            chunk_rows.append(rows + [rows[0]] * (chunk - len(rows)))
+        nchunks = len(chunk_rows)
+        # Hoist the doubling chains of ALL chunks into as few wide scans as
+        # possible: a chain step at a few hundred lanes is kernel-launch
+        # bound, so nchunks scans at Bb lanes cost ~nchunks x one scan at
+        # nchunks*Bb (measured 26 ms @256 vs 32 ms @1024 per compose on a
+        # v5e) — this was ~35% of matmul wall-clock at the reference shape.
+        Bbc = 2 * chunk * m
+        group = max(1, self.max_batch // Bbc)
+        chains = []
+        for g0 in range(0, nchunks, group):
+            grp = chunk_rows[g0:g0 + group]
+            forms = []
+            for rows_p in grp:
+                cells = [ct_tensor.at(i, j) for i in rows_p
+                         for j in range(m)]
+                forms.extend(ct.c1 for ct in cells)
+                forms.extend(ct.c2 for ct in cells)
+            bf = bform_from_forms(forms, self.L)
+            stack = self._chain_stack_kernel(len(grp) * Bbc, nwind)(bf)
+            for ci in range(len(grp)):
+                sl = slice(ci * Bbc, (ci + 1) * Bbc)
+                chains.append(jax.tree.map(
+                    lambda x, sl=sl: x[:, sl].reshape(
+                        (nwind * Bbc,) + x.shape[2:]), stack))
+        # jobs depend only on the (j, kk) digit tile — identical across
+        # chunks; build once
+        digits = np.ascontiguousarray(np.tile(recoded.T, (1, 2 * chunk)))
+        sbs = [self._scal_matmul_rows(rows_p, recoded, ct_tensor, zero_ct,
+                                      m, p, smallbank_only=True,
+                                      chain=chains[c], digits=digits)
+               for c, rows_p in enumerate(chunk_rows)]
         S1 = (1 << (YAO_W - 1))  # S - 1 contracted slots
         n_pad = nchunks * chunk
         # chunk sb: ((S-1)*2*chunk*p, L...) viewed (S1, 2, chunk, p);
@@ -516,6 +542,12 @@ class JaxEngine:
         cts = [CipherText(forms[i * p + kk], forms[n_pad * p + i * p + kk])
                for i in range(n) for kk in range(p)]
         return Tensor(cts, (n, p))
+
+    @functools.lru_cache(maxsize=16)
+    def _chain_stack_kernel(self, batch: int, nwind: int):
+        from .matmul2 import make_chain_stack
+
+        return jax.jit(make_chain_stack(self.cg, nwind, YAO_W))
 
     @functools.lru_cache(maxsize=16)
     def _phase2_kernel(self, rows2: int, m: int, p: int, nwind: int):
@@ -570,23 +602,28 @@ class JaxEngine:
         return Tensor(cts, (n, p))
 
     def _scal_matmul_rows(self, rows, recoded, ct_tensor, zero_ct,
-                          m: int, p: int, smallbank_only: bool = False):
+                          m: int, p: int, smallbank_only: bool = False,
+                          chain=None, digits=None):
         """One fused-kernel call over `rows` ct rows. Returns (c1, c2)
         pairs in (row, k) order — or, with smallbank_only, the chunk's
         contracted-bank DEVICE array (no sync; scal_matmul batches the
         finalization across chunks). `recoded`: (m*p, nwind) signed digits
-        of the scalar matrix (row-major (j, kk))."""
+        of the scalar matrix (row-major (j, kk)). `chain`/`digits` let
+        scal_matmul pass a pre-hoisted chain slice / the shared digit tile
+        (identical for every chunk)."""
         nr = len(rows)
         nwind = recoded.shape[1]
         plan, chain_k, ladder_k, p2 = self._matmul_kernel2(nr, m, p, nwind)
-        cells = [ct_tensor.at(i, j) for i in rows for j in range(m)]
-        bf_cells = bform_from_forms(
-            [ct.c1 for ct in cells] + [ct.c2 for ct in cells], self.L)
-        # digit lane r = ((hi*m + j)*p + kk) -> scalar (j*p + kk)
-        digits = np.ascontiguousarray(
-            np.tile(recoded.T, (1, 2 * nr)))  # (nwind, 2*nr*m*p)
+        if digits is None:
+            # digit lane r = ((hi*m + j)*p + kk) -> scalar (j*p + kk)
+            digits = np.ascontiguousarray(
+                np.tile(recoded.T, (1, 2 * nr)))  # (nwind, 2*nr*m*p)
         jobs = plan.jobs_b(digits)
-        chain = chain_k(bf_cells)
+        if chain is None:
+            cells = [ct_tensor.at(i, j) for i in rows for j in range(m)]
+            bf_cells = bform_from_forms(
+                [ct.c1 for ct in cells] + [ct.c2 for ct in cells], self.L)
+            chain = chain_k(bf_cells)
         smallbank = ladder_k(chain, jnp.asarray(jobs))
         if smallbank_only:
             return smallbank

@@ -148,6 +148,19 @@ class CG:
         self.Lxn = min(_r8(Lh + 16), L)
 
     # ------------------------------------------------------------ helpers
+    @staticmethod
+    def _unroll_for(x) -> int:
+        """While-body unroll factor (see rl.unrolled). MEASURED NEGATIVE
+        on a v5e (round 4): compose2 @256 lanes is 27.5 / 26.4 / 25.4 /
+        26.1 ms at unroll 1/2/4/8 — the small-batch cost is per-FUSED-
+        KERNEL launch inside the body (unrolling just launches 4x as many
+        per iteration), not while-loop bookkeeping, so the ~8% gain does
+        not cover the 4x compiled-program growth (the CPU test tier's
+        compile times blew past their budget). Plumbing kept for future
+        fused-kernel work; the effective small-batch lever is batching the
+        chains wider instead (engine.scal_matmul chain hoist)."""
+        return 1
+
     def _is_one(self, mag):
         return (mag[..., 0] == 1) & (jnp.sum(mag, axis=-1) == 1)
 
@@ -162,35 +175,45 @@ class CG:
     # ------------------------------------------------------------- reduce
     def reduce2(self, a_red, b_red, c_red):
         """Estimate-driven rho-descent; returns a reduced canonical BForm.
-        a_red, c_red: positive redundant; b_red: signed redundant."""
-        L = a_red.shape[-1]
+        a_red, c_red: positive redundant; b_red: signed redundant.
 
-        def ests(a, b, c):
-            ma, ta = rl.value_est(a)
-            mb, tb = rl.value_est(b)
-            mc, tc = rl.value_est(c)
+        The (mant, top) value estimates of all three coefficients ride the
+        while-loop state: each iteration re-estimates only the two values
+        it changed (b, c) — a changes only by swapping with c, whose
+        estimate is already carried. The round-3 body estimated 7 values
+        per iteration (a redundant start-of-body pass duplicating the end
+        -of-body one, plus a post-swap re-estimate); with value_est ~4
+        elementwise passes each, that was over half the per-iteration HBM
+        traffic of the measured 72%-of-compose2 loop."""
+
+        def flags(ma, ta, mb, tb, mc, tc):
             bitsA = rl.bits_est(ma, ta)
             bitsB = rl.bits_est(mb, tb)
             bitsC = rl.bits_est(mc, tc)
-            need_norm = bitsB > bitsA + 0.25
+            raw_norm = bitsB > bitsA + 0.25
             # quotients above ~24 bits cannot be applied unshifted; those
             # (rare: CF tail / inverse-pair composes) fall to the exact tail
             freak = bitsB - bitsA > 25.0
-            need_rho = jnp.logical_not(need_norm) & (bitsC < bitsA - 0.25)
-            return (ma, ta, mb, tb), (need_norm & jnp.logical_not(freak)), need_rho
+            need_rho = jnp.logical_not(raw_norm) & (bitsC < bitsA - 0.25)
+            return raw_norm & jnp.logical_not(freak), need_rho
+
+        unroll = self._unroll_for(a_red)
 
         def cond(state):
-            a, b, c, w, it = state
+            w, it = state[-2], state[-1]
             return (it < self.red_iters) & jnp.any(w)
 
         def body(state):
-            a, b, c, _w, it = state
-            (ma, ta, mb, tb), need_norm, need_rho = ests(a, b, c)
-            # rho where needed: (a, b, c) <- (c, -b, a); refresh a/b estimates
-            an = jnp.where(need_rho[..., None], c, a)
-            cn = jnp.where(need_rho[..., None], a, c)
-            bn = jnp.where(need_rho[..., None], -b, b)
-            man, tan = rl.value_est(an)  # a changed for rho rows
+            a, b, c, ma, ta, mb, tb, mc, tc, _w, it = state
+            need_norm, need_rho = flags(ma, ta, mb, tb, mc, tc)
+            # rho where needed: (a, b, c) <- (c, -b, a); ests follow the
+            # swap for free (c's estimate is carried)
+            rho = need_rho[..., None]
+            an = jnp.where(rho, c, a)
+            cn = jnp.where(rho, a, c)
+            bn = jnp.where(rho, -b, b)
+            man = jnp.where(need_rho, mc, ma)
+            tan = jnp.where(need_rho, tc, ta)
             mbn = jnp.where(need_rho, -mb, mb)
             # digit q ~ b / 2a, UNSHIFTED (no limb gathers inside TPU while
             # loops); |q| <= 2^27 per step, so rare huge CF quotients just
@@ -202,28 +225,41 @@ class CG:
             active = need_norm | need_rho
             qd = jnp.where(active, qd, 0)
             # aq = q*a via 14+14 split ; b' = b - 2*aq ; t = aq - b ;
-            # c' = c + q*t
-            a14 = rl.carry2(an << 14)
+            # c' = c + q*t. Single balanced carry passes throughout: every
+            # input below is a carry_pass output (limbs ~< 2^15.4), so each
+            # product against a 14-bit half-digit and each 2-3-term sum
+            # stays well inside int32, and the value_est mantissa error at
+            # ~2^15.4-bounded limbs is still ~2^-19 against 0.25-bit flag
+            # margins (leftovers land in the exact tail below either way).
+            a14 = rl.carry_pass(an << 14)
             s = jnp.sign(qd)
             aq_ = jnp.abs(qd)
             lo = (aq_ & 0x3FFF) * s
             hi = (aq_ >> 14) * s
             aq = rl.carry_pass(rl.carry_pass(lo[..., None] * an)
                                + rl.carry_pass(hi[..., None] * a14))
-            b2 = rl.carry2(bn - 2 * aq)
-            t = rl.carry2(aq - bn)
-            t14 = rl.carry2(t << 14)
+            b2 = rl.carry_pass(bn - 2 * aq)
+            t = rl.carry_pass(aq - bn)
+            t14 = rl.carry_pass(t << 14)
             qt = rl.carry_pass(lo[..., None] * t) + rl.carry_pass(hi[..., None] * t14)
-            c2 = rl.carry2(cn + qt)
-            _, need_norm2, need_rho2 = ests(an, b2, c2)
-            return an, b2, c2, need_norm2 | need_rho2, it + 1
+            c2 = rl.carry_pass(cn + qt)
+            mb2, tb2 = rl.value_est(b2)
+            mc2, tc2 = rl.value_est(c2)
+            nn2, nr2 = flags(man, tan, mb2, tb2, mc2, tc2)
+            return (an, b2, c2, man, tan, mb2, tb2, mc2, tc2,
+                    nn2 | nr2, it + 1)
 
         a0 = rl.carry2(a_red)
         b0 = rl.carry2(b_red)
         c0 = rl.carry2(c_red)
-        _, w0, r0 = ests(a0, b0, c0)
-        a, b, c, _, _ = jax.lax.while_loop(
-            cond, body, (a0, b0, c0, w0 | r0, jnp.int32(0)))
+        ma0, ta0 = rl.value_est(a0)
+        mb0, tb0 = rl.value_est(b0)
+        mc0, tc0 = rl.value_est(c0)
+        w0, r0 = flags(ma0, ta0, mb0, tb0, mc0, tc0)
+        a, b, c, _, _, _, _, _, _, _, _ = jax.lax.while_loop(
+            cond, rl.unrolled(body, unroll),
+            (a0, b0, c0, ma0, ta0, mb0, tb0, mc0, tc0,
+             w0 | r0, jnp.int32(0)))
 
         _, am = lb.canonicalize_fast(a)
         sb, bm = lb.canonicalize_fast(b)
@@ -237,6 +273,7 @@ class CG:
     def compose2(self, F1: BForm, F2: BForm) -> BForm:
         L, Lh, L2 = self.L, self.Lh, self.L2
         delta4 = jnp.asarray(self.delta4)
+        unroll = self._unroll_for(F1.a)
 
         # identity fast path: substitute DIFFERENT fixed forms on each side
         # (h, h^2) so identity lanes never become self-composes (see ctor)
@@ -290,16 +327,19 @@ class CG:
                                      jnp.zeros_like(a2[..., 1:NL])], axis=-1)
             a2_n = jnp.where(fx, a2[..., :NL], one_n)
             a1_n = jnp.where(fx, a1[..., :NL], 0)
-            d1_n, beta_n = xgcd_coeff_g(a2_n, a1_n, a2_n, nb + 16)
+            d1_n, beta_n = xgcd_coeff_g(a2_n, a1_n, a2_n, nb + 16,
+                                        unroll=unroll)
             one_L = jnp.concatenate([jnp.ones_like(a2[..., :1]),
                                      jnp.zeros_like(a2[..., 1:])], axis=-1)
             a2_w = jnp.where(fx, one_L, a2)
             a1_w = jnp.where(fx, 0, a1)
-            d1_w, beta_w = xgcd_coeff_g(a2_w, a1_w, a2_w, self.xgcd_nbits)
+            d1_w, beta_w = xgcd_coeff_g(a2_w, a1_w, a2_w, self.xgcd_nbits,
+                                        unroll=unroll)
             d1 = jnp.where(fx, lb.resize(d1_n, L), d1_w)
             beta = jnp.where(fx, lb.resize(beta_n, L), beta_w)
         else:
-            d1, beta = xgcd_coeff_g(a2, a1, a2, self.xgcd_nbits)
+            d1, beta = xgcd_coeff_g(a2, a1, a2, self.xgcd_nbits,
+                                    unroll=unroll)
 
         # ---- second gcd block: g = gcd(d1, |s|), eta0 in [0, d1) with
         # eta0 * |s| ≡ g (mod d1)
@@ -311,16 +351,18 @@ class CG:
         d1_8L = lb.resize(d1_8, Lh)
         _, d1_8L8 = lb.canonicalize_fast(d1_8L << 8)
         rp = rl.redc_pow16(lb.resize(sm, Lh), d1_8L, d1_8L8, dinv8,
-                           steps=Lh, active=fits8)
+                           steps=Lh, active=fits8, unroll=unroll)
         _, rp_m = lb.canonicalize_fast(rp)
         ge = lb.mag_cmp(rp_m, d1_8L) >= 0
         _, rp_m = lb.canonicalize_fast(rp_m - jnp.where(ge[..., None], d1_8L, 0))
-        g8, eta8 = xgcd_coeff_g(d1_8, rp_m[..., :8], d1_8, 136)
+        g8, eta8 = xgcd_coeff_g(d1_8, rp_m[..., :8], d1_8, 136,
+                                unroll=unroll)
         # un-Montgomery: eta0 = eta8 * 2^(-16*Lh) ... wait, rp carries
         # 2^(-16*Lh): eta8 * rp ≡ g  =>  (eta8 * 2^(-16*Lh)) * s ≡ g; so the
         # SAME scale removal applies to eta8.
         _, e8_8 = lb.canonicalize_fast(d1_8 << 8)
-        eta0_8 = rl.redc_pow16(eta8, d1_8, e8_8, dinv8, steps=Lh, active=fits8)
+        eta0_8 = rl.redc_pow16(eta8, d1_8, e8_8, dinv8, steps=Lh,
+                               active=fits8, unroll=unroll)
         _, eta0_8 = lb.canonicalize_fast(eta0_8)
         ge = lb.mag_cmp(eta0_8, d1_8) >= 0
         _, eta0_8 = lb.canonicalize_fast(eta0_8 - jnp.where(ge[..., None], d1_8, 0))
@@ -333,13 +375,14 @@ class CG:
         dinvF = lb.modinv16(d1h[..., 0])
         _, d1h8 = lb.canonicalize_fast(d1h << 8)
         rpF = rl.redc_pow16(lb.resize(sm, Lh), d1h, d1h8, dinvF,
-                            steps=Lh, active=rare)
+                            steps=Lh, active=rare, unroll=unroll)
         _, rpF_m = lb.canonicalize_fast(rpF)
         geF = lb.mag_cmp(rpF_m, d1h) >= 0
         _, rpF_m = lb.canonicalize_fast(rpF_m - jnp.where(geF[..., None], d1h, 0))
         gF, etaF = xgcd_coeff_g(d1h, jnp.where(rare[..., None], rpF_m, 0),
-                                d1h, 16 * Lh)
-        eta0F = rl.redc_pow16(etaF, d1h, d1h8, dinvF, steps=Lh, active=rare)
+                                d1h, 16 * Lh, unroll=unroll)
+        eta0F = rl.redc_pow16(etaF, d1h, d1h8, dinvF, steps=Lh, active=rare,
+                              unroll=unroll)
         _, eta0F = lb.canonicalize_fast(eta0F)
         geF = lb.mag_cmp(eta0F, d1h) >= 0
         _, eta0F = lb.canonicalize_fast(eta0F - jnp.where(geF[..., None], d1h, 0))
@@ -380,7 +423,8 @@ class CG:
             mu = pallas_group.mod_topdown(mu_red, m2x2,
                                           max_iters=self.mu_iters)
         else:
-            mu = rl.mod_topdown(mu_red, m2x2, max_iters=self.mu_iters)
+            mu = rl.mod_topdown(mu_red, m2x2, max_iters=self.mu_iters,
+                                unroll=unroll)
         mu = lb.resize(mu, L)
 
         # a3 = a1g*m2 ; b3 = b1 + a1g*mu ; c3 = ((b3/2)^2 + |D|/4)/a3

@@ -215,6 +215,23 @@ def make_chain(cg: CG, plan: MatmulPlan):
     return fn
 
 
+def make_chain_stack(cg: CG, nwind: int, w: int):
+    """Doubling-chain scan over an ARBITRARY cell batch, returning the
+    unflattened (nwind, batch, ...) stack. The engine runs this ONCE over
+    every chunk's cells concatenated (chain cost at a few hundred lanes is
+    launch-latency-bound, so 4 chunk chains at Bb=256 cost ~4x one chain
+    at 1024 — measured 26 ms vs 32 ms per compose on a v5e) and slices
+    per-chunk (nwind*Bb) views for the ladder pools."""
+
+    def fn(bf_cells):
+        _, stack = jax.lax.scan(
+            lambda c, _: (cg.nudupl2(c), c), bf_cells, None,
+            length=nwind * w)
+        return jax.tree.map(lambda x: x[::w], stack)
+
+    return fn
+
+
 def make_ladder(cg: CG, plan: MatmulPlan):
     """chain stack -> contracted bank: the pool machine (Yao ladder bank
     updates + per-slot m-contraction), ONE compose instance."""

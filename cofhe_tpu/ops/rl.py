@@ -39,6 +39,26 @@ MASK = lb.MASK
 BASE_BITS = lb.BASE_BITS
 
 
+def unrolled(body, factor: int):
+    """Repeat a while-loop body `factor` times per iteration. At small
+    batches the XLA while loop is LATENCY-bound (~tens of µs per iteration
+    of device loop overhead regardless of lane count — a batch-256 compose2
+    costs ~35 ms for ~800 total loop iterations on a v5e while a batch-16k
+    one is bandwidth-bound), so folding K steps into one iteration is a
+    ~K× win there. All loop bodies in this module are fixed points on
+    converged/masked lanes, so overshooting by up to factor-1 steps is
+    harmless."""
+    if factor == 1:
+        return body
+
+    def body_k(state):
+        for _ in range(factor):
+            state = body(state)
+        return state
+
+    return body_k
+
+
 def carry_pass(x):
     """One BALANCED partial carry pass; keeps the value exact. Limbs land in
     [-2^15, 2^15) plus the folded-in carry of the limb below. The top limb
@@ -213,7 +233,8 @@ def mod_topdown28(x, m_mag, active=None, max_iters: int | None = None):
     return mag
 
 
-def mod_topdown(x, m_mag, active=None, max_iters: int | None = None):
+def mod_topdown(x, m_mag, active=None, max_iters: int | None = None,
+                unroll: int = 1):
     """x mod m -> canonical magnitude in [0, m), for SIGNED redundant x and
     canonical m >= 1 (per element). active: bool mask — inactive elements
     are passed through cheaply and do not hold the early exit open.
@@ -305,7 +326,7 @@ def mod_topdown(x, m_mag, active=None, max_iters: int | None = None):
                 jax.lax.bitcast_convert_type(mxn, jnp.int32), txn, it + 1)
 
     xf, _, _, _, _, _, _, _ = jax.lax.while_loop(
-        cond, body,
+        cond, unrolled(body, unroll),
         (x0, msh0, m12sh0, wleft0, w0.astype(jnp.int32),
          jax.lax.bitcast_convert_type(mx0, jnp.int32), tx0, jnp.int32(0)))
 
@@ -458,7 +479,8 @@ def lehmer_euclid(r0_mag, r1_mag, bits_stop, max_groups: int,
     return rp, rc, xp, xc, yp, yc, par
 
 
-def redc_pow16(x, d_mag, d8, dinv16, steps: int, active=None):
+def redc_pow16(x, d_mag, d8, dinv16, steps: int, active=None,
+               unroll: int = 1):
     """x * 2^(-16*steps) mod d for ODD canonical d, redundant nonneg x.
 
     Per step: add t*d to clear the low 16 bits (t = x0 * (-d^-1) mod 2^16),
@@ -490,5 +512,8 @@ def redc_pow16(x, d_mag, d8, dinv16, steps: int, active=None):
         k, xc = state
         return k + 1, body(k, xc)
 
-    _, out = jax.lax.while_loop(cond, wbody, (jnp.int32(0), carry_pass(x)))
+    while steps % unroll:
+        unroll //= 2  # exact step count required: drop to a divisor
+    _, out = jax.lax.while_loop(cond, unrolled(wbody, unroll),
+                                (jnp.int32(0), carry_pass(x)))
     return out

@@ -77,7 +77,8 @@ def _submul0(x, qd, m, m14):
     return x - rl.carry_pass(lo[..., None] * m) - rl.carry_pass(hi[..., None] * m14)
 
 
-def xgcd_coeff_g(f_mag, g_mag, m_mag, nbits: int, need_u: bool = False):
+def xgcd_coeff_g(f_mag, g_mag, m_mag, nbits: int, need_u: bool = False,
+                 unroll: int = 1):
     """gcd of (f, g) with f ODD, plus the Bezout coefficient of g0 modulo m.
 
     CONTRACT: m must divide f0 (all call sites use m == f0). Returns
@@ -142,8 +143,11 @@ def xgcd_coeff_g(f_mag, g_mag, m_mag, nbits: int, need_u: bool = False):
             P2, R2 = P, R
         return k + 1, delta2, f2, g2, Q2, S2, P2, R2
 
+    # extra groups past g == 0 are exact identities (u = 2^W, shr_w undoes
+    # it; reduce_row only re-represents Q mod m), so unroll overshoot is safe
     (_, _, f, g, Q, S, P, R) = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), delta, f, g, Q, S, P, R))
+        cond, rl.unrolled(body, unroll),
+        (jnp.int32(0), delta, f, g, Q, S, P, R))
 
     sf, d = lb.canonicalize_fast(f)
 
