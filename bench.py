@@ -213,7 +213,8 @@ def main():
         try:
             t0 = time.time()
             res = cs.scal_ciphertext_tensors(pk, s_t, ct)
-            t_tot += time.time() - t0
+            t_iter = time.time() - t0
+            t_tot += t_iter
         except Exception as e:
             # a worker fault mid-run must not lose the stage-1 number;
             # recovery takes ~5-10 min, rarely worth the budget
@@ -221,9 +222,11 @@ def main():
                  f"{str(e)[:120]}); keeping stage-1 result")
             break
         done_iters += 1
-        full_rate = ops * done_iters / t_tot
-        note(f"full matmul iter {it}: {t_tot / done_iters:.1f}s "
-             f"({full_rate:.1f} scal-ops/s)")
+        # per-iteration rate: the first iteration pays one-time kernel
+        # compiles, so the cumulative average under-reports steady state
+        full_rate = ops / t_iter
+        note(f"full matmul iter {it}: {t_iter:.1f}s this iter, "
+             f"{t_tot / done_iters:.1f}s avg ({full_rate:.1f} scal-ops/s)")
         dec = cs.hsm2k.decrypt(sk, res.at(0, 0))
         assert dec == expect, "bench result decrypts incorrectly"
         # also check a LAST-row cell: catches chunk/row permutation bugs
