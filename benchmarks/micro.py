@@ -103,7 +103,7 @@ def main():
         f = bf1.a.at[..., 0].set(bf1.a[..., 0] | 1)
         bench("xgcd_mod(full)", kern, f, bf2.a, f)
 
-    if "compose2" in what or "nudupl2" in what:
+    if "compose2" in what or "nudupl2" in what or "reduce2" in what:
         from cofhe_tpu.ops.forms2 import CG, CGCtx
 
         disc_bits = (-hsm.Delta).bit_length()
@@ -124,6 +124,16 @@ def main():
             bench("compose2", jax.jit(cg.compose2), b1, b2)
         if "nudupl2" in what:
             bench("nudupl2", jax.jit(cg.nudupl2), b1)
+        if "reduce2" in what:
+            # phase split: the pre-reduction pipeline vs the rho-descent
+            # (72% of compose2 device time in the round-4 trace)
+            unred = jax.jit(cg.compose2_unreduced)
+            bench("compose2_unreduced", unred, b1, b2)
+            a3, b3s, b3m, c3 = [jax.block_until_ready(x)
+                                for x in unred(b1, b2)[:4]]
+            b3r = (b3s[..., None] * b3m).astype(jnp.int32)
+            bench("reduce2", jax.jit(cg.reduce2),
+                  a3.astype(jnp.int32), b3r, c3.astype(jnp.int32))
 
     if "yao2" in what:
         # the matmul's ladder in isolation: B exponent rows over 8 shared

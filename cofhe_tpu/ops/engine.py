@@ -45,22 +45,41 @@ from .nupow2 import (identity_bform2, nupow_shared_wnaf2, nupow_yao2,
 
 YAO_W = 4  # signed-digit window for per-element exponents
 
-# COFHE_ENGINE_SERIALIZE=1: one batched op on the device at a time,
-# process-wide. The axon tunnel's worker intermittently crashes under
-# concurrent dispatch from multiple threads (e.g. an in-process network's
-# threshold fan-out driving two CoFHE-node engines at once); on real
-# multi-host deployments each host has its own runtime and this is moot.
+# Process-wide dispatch serialization: one batched op on the device at a
+# time. The shared TPU runtime intermittently crashes under concurrent
+# dispatch from multiple threads (e.g. an in-process network's threshold
+# fan-out driving two CoFHE-node engines at once — docs/RUNTIME_FAULTS.md);
+# on real multi-host deployments each host has its own runtime and this is
+# moot. AUTO default (round 5): serialize exactly when >1 engine shares
+# this process and the backend is a non-CPU accelerator — so
+# network_prod.py-style runs are safe with no env knobs, while the
+# single-engine production path and CPU tests stay lock-free. Overrides:
+# COFHE_ENGINE_SERIALIZE=1 forces on, =0 forces off.
 import threading as _threading
 from contextlib import nullcontext as _nullcontext
 
 _DISPATCH_LOCK = _threading.RLock()
+_ENGINE_COUNT = 0
+_PLATFORM_IS_CPU = None
 
 
 def _dispatch_guard():
     import os
 
-    if os.environ.get("COFHE_ENGINE_SERIALIZE") == "1":
+    env = os.environ.get("COFHE_ENGINE_SERIALIZE")
+    if env == "1":
         return _DISPATCH_LOCK
+    if env == "0":
+        return _nullcontext()
+    if _ENGINE_COUNT > 1:
+        global _PLATFORM_IS_CPU
+        if _PLATFORM_IS_CPU is None:
+            try:
+                _PLATFORM_IS_CPU = jax.devices()[0].platform == "cpu"
+            except Exception:
+                return _nullcontext()
+        if not _PLATFORM_IS_CPU:
+            return _DISPATCH_LOCK
     return _nullcontext()
 
 
@@ -89,6 +108,8 @@ class JaxEngine:
     (openmp.hpp:4-11) scaled across chips instead of cores."""
 
     def __init__(self, hsm2k: CLHSM2k, mesh=None):
+        global _ENGINE_COUNT
+        _ENGINE_COUNT += 1
         self.hsm = hsm2k
         self.mesh = mesh
         disc_bits = (-hsm2k.Delta).bit_length()
@@ -493,7 +514,15 @@ class JaxEngine:
         # v5e) — this was ~35% of matmul wall-clock at the reference shape.
         Bbc = 2 * chunk * m
         group = max(1, self.max_batch // Bbc)
-        chains = []
+        # jobs depend only on the (j, kk) digit tile — identical across
+        # chunks; build once
+        digits = np.ascontiguousarray(np.tile(recoded.T, (1, 2 * chunk)))
+        # Build each group's wide chain stack, then dispatch that group's
+        # ladders IMMEDIATELY (still async) and drop the chain refs —
+        # holding every group's stack alive until all ladders are enqueued
+        # grows peak device memory ~linearly with row count (can OOM a
+        # 16 GB chip for n in the few-hundreds).
+        sbs = []
         for g0 in range(0, nchunks, group):
             grp = chunk_rows[g0:g0 + group]
             forms = []
@@ -504,18 +533,16 @@ class JaxEngine:
                 forms.extend(ct.c2 for ct in cells)
             bf = bform_from_forms(forms, self.L)
             stack = self._chain_stack_kernel(len(grp) * Bbc, nwind)(bf)
-            for ci in range(len(grp)):
+            for ci, rows_p in enumerate(grp):
                 sl = slice(ci * Bbc, (ci + 1) * Bbc)
-                chains.append(jax.tree.map(
+                chain = jax.tree.map(
                     lambda x, sl=sl: x[:, sl].reshape(
-                        (nwind * Bbc,) + x.shape[2:]), stack))
-        # jobs depend only on the (j, kk) digit tile — identical across
-        # chunks; build once
-        digits = np.ascontiguousarray(np.tile(recoded.T, (1, 2 * chunk)))
-        sbs = [self._scal_matmul_rows(rows_p, recoded, ct_tensor, zero_ct,
-                                      m, p, smallbank_only=True,
-                                      chain=chains[c], digits=digits)
-               for c, rows_p in enumerate(chunk_rows)]
+                        (nwind * Bbc,) + x.shape[2:]), stack)
+                sbs.append(self._scal_matmul_rows(
+                    rows_p, recoded, ct_tensor, zero_ct, m, p,
+                    smallbank_only=True, chain=chain, digits=digits))
+                del chain
+            del stack
         S1 = (1 << (YAO_W - 1))  # S - 1 contracted slots
         n_pad = nchunks * chunk
         # chunk sb: ((S-1)*2*chunk*p, L...) viewed (S1, 2, chunk, p);

@@ -43,6 +43,16 @@ from .forms import BForm, bform_select, reduce_batch, rotate_to_odd
 from .xgcd2 import xgcd_coeff_g
 
 
+def _renorm_est(m, t):
+    """Renormalize a (mant f32, top int32) estimate so |mant| lands back
+    in ~[1, 2^16) (zero mant passes through). Clip covers the per-step
+    drift of the grouped-rho sim (<= 2^13 growth / full cancellation)."""
+    sh = jnp.clip(rl.log2f_i(m) >> 4, -4, 4)
+    z = m == 0.0
+    return (jnp.where(z, m, m * rl.pow2f(-16 * sh)),
+            jnp.where(z, t, t + sh))
+
+
 @dataclass(frozen=True)
 class CGCtx:
     """Static context for one discriminant: widths + shared constants."""
@@ -96,12 +106,25 @@ class CG:
         # C++ host backend keeps NUCOMP (GMP's subquadratic big-word muls
         # make the cofactor products nearly free there).
         self.use_nucomp = os.environ.get("COFHE_NUCOMP", "0") == "1"
+        # grouped-rho reduction (round 5): default ON; COFHE_GROUPED_RHO=0
+        # falls back to the per-quotient iteration loop
+        self.use_grouped_rho = os.environ.get("COFHE_GROUPED_RHO", "1") == "1"
         self.disc_bits = disc_bits
         L, Lh = CGCtx.widths_for_disc_bits(disc_bits)
         self.L = L
         self.Lh = Lh
         self.L2 = 2 * L
         self.delta4 = np.asarray(delta4_L2)  # (2L,) magnitude of |Delta|/4
+        # |Delta| as a (mant, top) float estimate for the grouped-rho sim's
+        # invariant-derived c: c = (b^2 + |Delta|) / 4a
+        d4int = 0
+        for i, v in enumerate(self.delta4.tolist()):
+            d4int += int(v) << (16 * i)
+        dD = 4 * d4int
+        tD = max((dD.bit_length() - 1) // 16, 0)
+        sh = max(dD.bit_length() - 48, 0)
+        self.dD_mant = float(dD >> sh) * (2.0 ** (sh - 16 * tD))
+        self.dD_top = int(tD)
         # substitute forms for the identity fast path: TWO DIFFERENT fixed
         # reduced non-identity forms (h and h^2 from the cryptosystem).
         # Substituting the same form on both sides makes identity lanes
@@ -174,6 +197,144 @@ class CG:
 
     # ------------------------------------------------------------- reduce
     def reduce2(self, a_red, b_red, c_red):
+        """Reduction front-end: grouped-rho by default (COFHE_GROUPED_RHO=0
+        falls back to the per-quotient loop). Inputs must be a genuine form
+        of this discriminant (b^2 - 4ac = Delta) — the grouped sim derives
+        c-magnitude estimates from that invariant."""
+        if self.use_grouped_rho:
+            return self.reduce2_grouped(a_red, b_red, c_red)
+        return self.reduce2_iter(a_red, b_red, c_red)
+
+    def _c_est(self, ma, ta, mb, tb):
+        """Estimate (mant, top) of c = (b^2 + |Delta|) / (4a) from the
+        estimates of a and b via the discriminant invariant — the key to
+        simulating rho-descent steps on scalars: the direct update
+        c' = c + q*(q*a - b) cancels catastrophically (c drops from
+        ~b^2/4a to ~|Delta|/4a in one normalization), while the invariant
+        form never does."""
+        t2b = 2 * tb
+        tD = jnp.int32(self.dD_top)
+        tbig = jnp.maximum(t2b, tD)
+        m1 = (mb * mb) * rl.pow2f(jnp.clip(16 * (t2b - tbig), -126, 0))
+        m2 = jnp.float32(self.dD_mant) * rl.pow2f(
+            jnp.clip(16 * (tD - tbig), -126, 0))
+        mc = (m1 + m2) / jnp.maximum(4.0 * ma, 1e-30)
+        return _renorm_est(mc, tbig - ta)
+
+    def reduce2_grouped(self, a_red, b_red, c_red):
+        """Grouped rho-descent: simulate up to SIM_STEPS normalization/rho
+        quotients per group on (mant, top) scalar estimates — accumulating
+        a 2x2 unimodular matrix M with entries bounded by 2^12 — then apply
+        M ONCE to the full-width limb arrays via the quadratic-form
+        transform
+            a' = a p^2 + b p r + c r^2
+            b' = 2 a p q + b (p s + q r) + 2 c r s
+            c' = a q^2 + b q s + c s^2        (M = [[p, q], [r, s]])
+        with 13+12-bit split coefficients (6 int32-exact products per
+        output against balanced limbs). Any unimodular M preserves the
+        class and the invariant, so estimate noise can only waste a group,
+        never corrupt. Per 12 quotient-bits this costs ~14 wide passes vs
+        ~37 for the per-quotient loop (the measured 72%-of-compose2
+        hotspot, round-4 trace; reference hot path qfi.inl:1-135).
+        Exact-tail and freak-quotient semantics match reduce2_iter."""
+        SIM_STEPS = 6
+        LIM = 4096  # 2^12 matrix-entry bound
+
+        def flags(ma, ta, mb, tb, mc, tc):
+            bitsA = rl.bits_est(ma, ta)
+            bitsB = rl.bits_est(mb, tb)
+            bitsC = rl.bits_est(mc, tc)
+            raw_norm = bitsB > bitsA + 0.25
+            freak = bitsB - bitsA > 25.0
+            need_rho = jnp.logical_not(raw_norm) & (bitsC < bitsA - 0.25)
+            return raw_norm & jnp.logical_not(freak), need_rho
+
+        def cond(state):
+            w, it = state[-2], state[-1]
+            return (it < self.red_iters) & jnp.any(w != 0)
+
+        def body(state):
+            a, b, c, ma, ta, mb, tb, w, it = state
+            lane = w != 0
+            # ---- scalar simulation of up to SIM_STEPS quotients
+            p = jnp.ones_like(ta)
+            r = jnp.zeros_like(ta)
+            qq = jnp.zeros_like(ta)
+            ss = jnp.ones_like(ta)
+            sma, sta, smb, stb = ma, ta, mb, tb
+            for _ in range(SIM_STEPS):
+                mc_e, tc_e = self._c_est(sma, sta, smb, stb)
+                need_norm, need_rho = flags(sma, sta, smb, stb, mc_e, tc_e)
+                act = lane & (need_norm | need_rho)
+                do_rho = act & need_rho
+                man = jnp.where(do_rho, mc_e, sma)
+                tan = jnp.where(do_rho, tc_e, sta)
+                mbn = jnp.where(do_rho, -smb, smb)
+                # matrix right-multiplied by rho = [[0,-1],[1,0]]
+                p2 = jnp.where(do_rho, qq, p)
+                qq2 = jnp.where(do_rho, -p, qq)
+                r2 = jnp.where(do_rho, ss, r)
+                ss2 = jnp.where(do_rho, -r, ss)
+                # digit q ~ b/2a, clipped to the remaining matrix budget
+                ratio = mbn / jnp.maximum(2.0 * man, 1e-30)
+                scale = rl.pow2f(jnp.clip(16 * (stb - tan), -126, 60))
+                col1 = jnp.maximum(jnp.abs(p2), jnp.abs(r2))
+                col2 = jnp.maximum(jnp.abs(qq2), jnp.abs(ss2))
+                qcap = ((LIM - col2) // jnp.maximum(col1, 1)).astype(jnp.float32)
+                qf = jnp.clip(jnp.round(ratio * scale), -qcap, qcap)
+                qf = jnp.where(act, qf, 0.0)
+                qi = qf.astype(jnp.int32)
+                # b <- b - 2 q a, evaluated at b's scale (safe negative
+                # exponent), renormalized against the cancellation
+                inv = rl.pow2f(jnp.clip(16 * (tan - stb), -126, 60))
+                smb, stb = _renorm_est(mbn - 2.0 * qf * man * inv, stb)
+                sma, sta = man, tan
+                p, r = p2, r2
+                qq, ss = qq2 - qi * p2, ss2 - qi * r2
+            # ---- apply M once to the limb arrays (13+12 split)
+            a13 = rl.carry_pass(a << 13)
+            b13 = rl.carry_pass(b << 13)
+            c13 = rl.carry_pass(c << 13)
+
+            def coefmul(coef, v, v13):
+                s = jnp.sign(coef)
+                u = jnp.abs(coef)
+                lo = (u & 0x1FFF) * s
+                hi = (u >> 13) * s
+                return lo[..., None] * v + hi[..., None] * v13
+
+            def xform(ca, cb, cc):
+                return rl.carry_pass(coefmul(ca, a, a13)
+                                     + coefmul(cb, b, b13)
+                                     + coefmul(cc, c, c13))
+
+            a2 = xform(p * p, p * r, r * r)
+            b2 = xform(2 * p * qq, p * ss + qq * r, 2 * r * ss)
+            c2 = xform(qq * qq, qq * ss, ss * ss)
+            ma2, ta2 = rl.value_est(a2)
+            mb2, tb2 = rl.value_est(b2)
+            mc2, tc2 = self._c_est(ma2, ta2, mb2, tb2)
+            nn, nr = flags(ma2, ta2, mb2, tb2, mc2, tc2)
+            return (a2, b2, c2, ma2, ta2, mb2, tb2,
+                    (nn | nr).astype(jnp.int32), it + 1)
+
+        a0 = rl.carry2(a_red)
+        b0 = rl.carry2(b_red)
+        c0 = rl.carry2(c_red)
+        ma0, ta0 = rl.value_est(a0)
+        mb0, tb0 = rl.value_est(b0)
+        mc0, tc0 = self._c_est(ma0, ta0, mb0, tb0)
+        nn0, nr0 = flags(ma0, ta0, mb0, tb0, mc0, tc0)
+        a, b, c, _, _, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (a0, b0, c0, ma0, ta0, mb0, tb0,
+                         (nn0 | nr0).astype(jnp.int32), jnp.int32(0)))
+
+        _, am = lb.canonicalize_fast(a)
+        sb, bm = lb.canonicalize_fast(b)
+        _, cm = lb.canonicalize_fast(c)
+        return reduce_batch(BForm(am, sb, bm, cm), self.disc_bits // 4 + 64)
+
+    def reduce2_iter(self, a_red, b_red, c_red):
         """Estimate-driven rho-descent; returns a reduced canonical BForm.
         a_red, c_red: positive redundant; b_red: signed redundant.
 
@@ -271,6 +432,26 @@ class CG:
 
     # ------------------------------------------------------------ compose
     def compose2(self, F1: BForm, F2: BForm) -> BForm:
+        (a3, b3s, b3m, c3, a1g, m2x2, mu,
+         id1, id2) = self.compose2_unreduced(F1, F2)
+        if not self.use_nucomp:
+            out = self.reduce2(a3.astype(jnp.int32),
+                               (b3s[..., None] * b3m).astype(jnp.int32),
+                               c3.astype(jnp.int32))
+        else:
+            out = self._nucomp_tail(a3, b3s, b3m, c3, a1g, m2x2, mu)
+        # identity selects (both-id: F2 is the identity, so the first select
+        # already returns it)
+        out = bform_select(id2 & jnp.logical_not(id1), F1, out)
+        out = bform_select(id1, F2, out)
+        return out
+
+    def compose2_unreduced(self, F1: BForm, F2: BForm):
+        """Everything before the reduction: returns the unreduced composed
+        coefficients (a3, b3s, b3m, c3), the NUCOMP-tail operands
+        (a1g, m2x2, mu) and the identity masks (id1, id2). Split out so the
+        reduction phase (72% of compose2 device time, round-4 trace) can be
+        benchmarked and swapped independently."""
         L, Lh, L2 = self.L, self.Lh, self.L2
         delta4 = jnp.asarray(self.delta4)
         unroll = self._unroll_for(F1.a)
@@ -441,18 +622,7 @@ class CG:
         a3_odd = lb.mag_shr_bits_dyn(a3, e)
         csum_sh = lb.mag_shr_bits_dyn(csum, jnp.minimum(e, jnp.int32(16 * Lm - 1)))
         c3 = lb.mag_divexact_odd(csum_sh, lb.resize(a3_odd, Lm), L)
-
-        if not self.use_nucomp:
-            out = self.reduce2(a3.astype(jnp.int32),
-                               (b3s[..., None] * b3m).astype(jnp.int32),
-                               c3.astype(jnp.int32))
-        else:
-            out = self._nucomp_tail(a3, b3s, b3m, c3, a1g, m2x2, mu)
-        # identity selects (both-id: F2 is the identity, so the first select
-        # already returns it)
-        out = bform_select(id2 & jnp.logical_not(id1), F1, out)
-        out = bform_select(id1, F2, out)
-        return out
+        return a3, b3s, b3m, c3, a1g, m2x2, mu, id1, id2
 
     def _nucomp_tail(self, a3, b3s, b3m, c3, a1g, m2x2, mu):
         """NUCOMP partial reduction: instead of handing the full-size

@@ -122,8 +122,12 @@ def log2f_i(mant):
 def value_est(x):
     """(mant, top) with value(x) ~= mant * 2^(16 top), mant SIGNED f32.
 
-    x must be carry2-bounded. Relative error ~2^-20. For the all-zero value
-    returns (0.0, 0)."""
+    x must have BALANCED limbs within ~2^15.7 — any carry_pass/carry2
+    output qualifies, as do single carry_pass sums whose pre-carry terms
+    stay under ~2^30.5 (reduce2 feeds such). Balance rules out
+    catastrophic cancellation in the masked f32 sum, so the relative
+    error stays ~2^-19 against the 0.25-bit flag margins downstream. For
+    the all-zero value returns (0.0, 0)."""
     L = x.shape[-1]
     idx = jnp.arange(L, dtype=jnp.int32)
     nz = x != 0

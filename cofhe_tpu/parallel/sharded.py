@@ -127,8 +127,6 @@ def sharded_matmul_fn(mesh: Mesh, cg: CG, plan_loc: MatmulPlan):
     the per-slot contracted banks over 'tp' -> masked scan tree -> phase2
     (finalization + Enc(0)) locally. 4 compose instances total.
     """
-    from jax.experimental.shard_map import shard_map
-
     tp = mesh.shape["tp"]
     p1 = make_phase1(cg, plan_loc)
     p2 = make_phase2(cg, plan_loc)
@@ -148,9 +146,9 @@ def sharded_matmul_fn(mesh: Mesh, cg: CG, plan_loc: MatmulPlan):
 
     bsh2 = BForm(P("dp", "tp"), P("dp", "tp"), P("dp", "tp"), P("dp", "tp"))
     bsh1 = BForm(P("dp"), P("dp"), P("dp"), P("dp"))
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(bsh2, bsh1, P("dp", "tp")),
-                   out_specs=bsh1, check_rep=False)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(bsh2, bsh1, P("dp", "tp")),
+                       out_specs=bsh1, check_vma=False)
     return jax.jit(fn)
 
 
@@ -162,8 +160,6 @@ def sharded_threshold_combine(mesh: Mesh, cg: CG):
     composed d replicated on every device (final_decrypt,
     cpu_cryptosystem_distributed.inl:256-270; the t TLS fan-ins of
     smpc_client.hpp:153-159 become one ICI all_gather)."""
-    from jax.experimental.shard_map import shard_map
-
     tp = mesh.shape["tp"]
 
     def local(d_loc: BForm):
@@ -176,6 +172,6 @@ def sharded_threshold_combine(mesh: Mesh, cg: CG):
     bsh = BForm(P("tp"), P("tp"), P("tp"), P("tp"))
     # replicate the combined result over tp so every shard returns it
     osh = BForm(P("tp"), P("tp"), P("tp"), P("tp"))
-    fn = shard_map(local, mesh=mesh, in_specs=(bsh,), out_specs=osh,
-                   check_rep=False)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(bsh,), out_specs=osh,
+                       check_vma=False)
     return jax.jit(fn)
