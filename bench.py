@@ -277,4 +277,14 @@ def CipherText_from(pair):
 
 
 if __name__ == "__main__":
-    main()
+    if "--mesh" in sys.argv:
+        # scaling-efficiency mode: delegate to the mesh harness (virtual
+        # CPU mesh by default; --real for actual multi-chip hardware)
+        sys.argv.remove("--mesh")
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        import scaling
+
+        scaling.main()
+    else:
+        main()

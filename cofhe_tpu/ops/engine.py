@@ -591,7 +591,9 @@ class JaxEngine:
         cpu_cryptosystem_tensor_ops.inl:403-417 row sums; OpenMP loops
         openmp.hpp:4-11). One jit; collectives ride the mesh."""
         from ..tensor import Tensor
+        import time as _time
 
+        t_start = _time.time()
         rows2_loc = 2 * n // dp
         m_loc = m // tp
         plan, fn = self._matmul_kernel_sharded(rows2_loc, m_loc, p, nwind)
@@ -621,11 +623,22 @@ class JaxEngine:
                     m_loc * p, nwind).T, (1, rows2_loc)))
             jobs_t.append(plan.jobs_b(digits_t))
         jobs_g = np.stack([np.stack(jobs_t)] * dp)
+        t_packed = _time.time()
         out = fn(cells_g, zero_g, jnp.asarray(jobs_g))
+        fetched = self._fetch(out)
+        t_device = _time.time()
         flat = BForm(*(np.asarray(x).reshape((2 * n * p,) + x.shape[2:])
-                       for x in self._fetch(out)))
+                       for x in fetched))
         forms = bform_to_forms(flat)
         cts = [CipherText(forms[i], forms[n * p + i]) for i in range(n * p)]
+        # phase breakdown for the scaling harness (benchmarks/scaling.py):
+        # "pack" (host NumPy packing + form conversion) is single-host work
+        # that does NOT shard with the mesh and caps scaling efficiency
+        self.last_sharded_phases = {
+            "pack_s": t_packed - t_start,
+            "device_s": t_device - t_packed,
+            "rebuild_s": _time.time() - t_device,
+        }
         return Tensor(cts, (n, p))
 
     def _scal_matmul_rows(self, rows, recoded, ct_tensor, zero_ct,

@@ -196,12 +196,21 @@ class CG:
                      jnp.asarray(self.h2_b), jnp.asarray(self.h2_c))
 
     # ------------------------------------------------------------- reduce
-    def reduce2(self, a_red, b_red, c_red):
-        """Reduction front-end: grouped-rho by default (COFHE_GROUPED_RHO=0
-        falls back to the per-quotient loop). Inputs must be a genuine form
+    def reduce2(self, a_red, b_red, c_red, grouped: bool | None = None):
+        """Reduction front-end. grouped=None -> self.use_grouped_rho
+        (default on, COFHE_GROUPED_RHO=0 flips it); the scan kernels
+        (matmul/wNAF/Yao ladders) pass grouped=False explicitly — the
+        grouped loop wins 1.5-2x in standalone jits at every batch size
+        measured (8..16384), but when the same while is embedded in a scan
+        body that carries a slot bank, XLA's scheduling makes its per-group
+        cost ~5x (ladder A/B: 23.6 s vs 13.8 s per chunk; the
+        optimization-barrier and sim-size ablations in docs/PLAN_r5.md rule
+        out the sim graph and trip counts). Inputs must be a genuine form
         of this discriminant (b^2 - 4ac = Delta) — the grouped sim derives
         c-magnitude estimates from that invariant."""
-        if self.use_grouped_rho:
+        if grouped is None:
+            grouped = self.use_grouped_rho
+        if grouped:
             return self.reduce2_grouped(a_red, b_red, c_red)
         return self.reduce2_iter(a_red, b_red, c_red)
 
@@ -237,7 +246,14 @@ class CG:
         ~37 for the per-quotient loop (the measured 72%-of-compose2
         hotspot, round-4 trace; reference hot path qfi.inl:1-135).
         Exact-tail and freak-quotient semantics match reduce2_iter."""
-        SIM_STEPS = 6
+        import os
+
+        # 3 sim steps nearly always exhaust the 12-bit matrix budget (CF
+        # quotients average ~4.7 bits); 6 steps only help rare tiny-quotient
+        # runs and DOUBLE the while-body graph — measured to break XLA's
+        # in-scan fusion of the sim chains (yao2 ladder 9.3 s vs 5.5 s with
+        # the old loop, while the standalone compose2 was 1.5x FASTER).
+        SIM_STEPS = int(os.environ.get("COFHE_RHO_SIM_STEPS", "3"))
         LIM = 4096  # 2^12 matrix-entry bound
 
         def flags(ma, ta, mb, tb, mc, tc):
@@ -431,13 +447,14 @@ class CG:
         return reduce_batch(BForm(am, sb, bm, cm), self.disc_bits // 4 + 64)
 
     # ------------------------------------------------------------ compose
-    def compose2(self, F1: BForm, F2: BForm) -> BForm:
+    def compose2(self, F1: BForm, F2: BForm,
+                 grouped: bool | None = None) -> BForm:
         (a3, b3s, b3m, c3, a1g, m2x2, mu,
          id1, id2) = self.compose2_unreduced(F1, F2)
         if not self.use_nucomp:
             out = self.reduce2(a3.astype(jnp.int32),
                                (b3s[..., None] * b3m).astype(jnp.int32),
-                               c3.astype(jnp.int32))
+                               c3.astype(jnp.int32), grouped=grouped)
         else:
             out = self._nucomp_tail(a3, b3s, b3m, c3, a1g, m2x2, mu)
         # identity selects (both-id: F2 is the identity, so the first select
@@ -705,5 +722,5 @@ class CG:
         return BForm(lb.resize(red.a, L), red.b_sign,
                      lb.resize(red.b, L), lb.resize(red.c, L))
 
-    def nudupl2(self, F: BForm) -> BForm:
-        return self.compose2(F, F)
+    def nudupl2(self, F: BForm, grouped: bool | None = None) -> BForm:
+        return self.compose2(F, F, grouped=grouped)

@@ -195,7 +195,7 @@ def _make_step(cg: CG):
         A = _gather(pool, ia)
         Bv = _gather(pool, ib)
         Bv = bform_select(nb.astype(bool), bform_neg(Bv), Bv)
-        return _scatter(pool, io, cg.compose2(A, Bv)), None
+        return _scatter(pool, io, cg.compose2(A, Bv, grouped=False)), None
 
     return step
 
@@ -207,7 +207,7 @@ def make_chain(cg: CG, plan: MatmulPlan):
 
     def fn(bf_cells):
         _, stack = jax.lax.scan(
-            lambda c, _: (cg.nudupl2(c), c), bf_cells, None,
+            lambda c, _: (cg.nudupl2(c, grouped=False), c), bf_cells, None,
             length=nwind * w)
         return jax.tree.map(
             lambda x: x[::w].reshape((nwind * Bb,) + x.shape[2:]), stack)
@@ -225,7 +225,7 @@ def make_chain_stack(cg: CG, nwind: int, w: int):
 
     def fn(bf_cells):
         _, stack = jax.lax.scan(
-            lambda c, _: (cg.nudupl2(c), c), bf_cells, None,
+            lambda c, _: (cg.nudupl2(c, grouped=False), c), bf_cells, None,
             length=nwind * w)
         return jax.tree.map(lambda x: x[::w], stack)
 

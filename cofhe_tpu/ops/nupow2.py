@@ -101,7 +101,7 @@ def nupow_yao2(cg: CG, base: BForm, digits, base_map=None, w: int = 4) -> BForm:
                     jnp.take_along_axis(bank.b_sign, slot[None, :], axis=0)[0],
                     jnp.take_along_axis(bank.b, idx3, axis=0)[0],
                     jnp.take_along_axis(bank.c, idx3, axis=0)[0])
-        comp = cg.compose2(sel, term)
+        comp = cg.compose2(sel, term, grouped=False)
         m2 = slots == slot[None, :]  # (S, B)
         m3 = m2[..., None]
         bank = BForm(jnp.where(m3, comp.a[None], bank.a),
@@ -109,7 +109,7 @@ def nupow_yao2(cg: CG, base: BForm, digits, base_map=None, w: int = 4) -> BForm:
                      jnp.where(m3, comp.b[None], bank.b),
                      jnp.where(m3, comp.c[None], bank.c))
         for _ in range(w):
-            chain = cg.nudupl2(chain)
+            chain = cg.nudupl2(chain, grouped=False)
         return (bank, chain), None
 
     (bank, _), _ = jax.lax.scan(body, (bank, base), digits)
@@ -127,8 +127,8 @@ def nupow_yao2(cg: CG, base: BForm, digits, base_map=None, w: int = 4) -> BForm:
 
     def fin_body(carry, v):
         T, R = carry
-        T = cg.compose2(T, slot_of(v))
-        R = cg.compose2(R, T)
+        T = cg.compose2(T, slot_of(v), grouped=False)
+        R = cg.compose2(R, T, grouped=False)
         return (T, R), None
 
     vs = jnp.arange(half - 1, 0, -1, dtype=jnp.int32)
@@ -157,10 +157,10 @@ def wnaf_digits(e: int, w: int) -> list[int]:
 def make_wnaf_bank(cg: CG, base: BForm, w: int = 5) -> BForm:
     """Odd-power table bank[i] = base^(2i+1), (nslots, batch, L)."""
     nslots = 1 << (w - 2)
-    sq = cg.nudupl2(base)
+    sq = cg.nudupl2(base, grouped=False)
 
     def tab_body(prev, _):
-        nxt = cg.compose2(prev, sq)
+        nxt = cg.compose2(prev, sq, grouped=False)
         return nxt, prev
 
     _, tab = jax.lax.scan(tab_body, base, None, length=nslots)
@@ -177,7 +177,7 @@ def wnaf_segment(cg: CG, bank: BForm, r: BForm, sched_seg, w: int = 5) -> BForm:
     sched_seg = jnp.asarray(sched_seg, jnp.int32)
 
     def body(rr, d):
-        rr = cg.nudupl2(rr)
+        rr = cg.nudupl2(rr, grouped=False)
 
         def with_compose(r2):
             idx = (jnp.abs(d) - 1) // 2
@@ -187,7 +187,7 @@ def wnaf_segment(cg: CG, bank: BForm, r: BForm, sched_seg, w: int = 5) -> BForm:
                       jax.lax.dynamic_index_in_dim(bank.c, idx, 0, False))
             t = bform_select(jnp.broadcast_to(d < 0, t.b_sign.shape),
                              bform_neg(t), t)
-            return cg.compose2(r2, t)
+            return cg.compose2(r2, t, grouped=False)
 
         rr = jax.lax.cond(d != 0, with_compose, lambda r2: r2, rr)
         return rr, None
@@ -205,10 +205,10 @@ def nupow_shared_wnaf2(cg: CG, base: BForm, sched, w: int = 5) -> BForm:
     nslots = 1 << (w - 2)  # odd powers 1, 3, ..., 2^(w-1)-1
     batch = base.a.shape[0]
 
-    sq = cg.nudupl2(base)
+    sq = cg.nudupl2(base, grouped=False)
 
     def tab_body(prev, _):
-        nxt = cg.compose2(prev, sq)
+        nxt = cg.compose2(prev, sq, grouped=False)
         return nxt, prev
 
     _, tab = jax.lax.scan(tab_body, base, None, length=nslots)
@@ -218,7 +218,7 @@ def nupow_shared_wnaf2(cg: CG, base: BForm, sched, w: int = 5) -> BForm:
     sched = jnp.asarray(sched, jnp.int32)
 
     def body(r, d):
-        r = cg.nudupl2(r)
+        r = cg.nudupl2(r, grouped=False)
 
         def with_compose(rr):
             idx = (jnp.abs(d) - 1) // 2
@@ -228,7 +228,7 @@ def nupow_shared_wnaf2(cg: CG, base: BForm, sched, w: int = 5) -> BForm:
                       jax.lax.dynamic_index_in_dim(bank.c, idx, 0, False))
             t = bform_select(jnp.broadcast_to(d < 0, t.b_sign.shape),
                              bform_neg(t), t)
-            return cg.compose2(rr, t)
+            return cg.compose2(rr, t, grouped=False)
 
         r = jax.lax.cond(d != 0, with_compose, lambda rr: rr, r)
         return r, None

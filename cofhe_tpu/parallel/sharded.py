@@ -95,7 +95,7 @@ def _scan_tree_compose(cg: CG, stacked: BForm, t: int):
         ga, gb, kp = xs
         A = BForm(cur.a[ga], cur.b_sign[ga], cur.b[ga], cur.c[ga])
         Bv = BForm(cur.a[gb], cur.b_sign[gb], cur.b[gb], cur.c[gb])
-        comp = cg.compose2(A, Bv)
+        comp = cg.compose2(A, Bv, grouped=False)
         kb = kp.astype(bool)
         comp = bform_select(kb, comp, A)
         # write back to the first-half lanes
