@@ -183,3 +183,35 @@ def test_mod_topdown28():
     out = rl.mod_topdown28(xin, jnp.asarray(mm), max_iters=600)
     got = lb.limbs_to_ints(np.asarray(out))
     assert all(got[i] == xs[i] % ms[i] for i in range(B))
+
+
+def test_reduce2_modes_match_oracle(toy_hsm):
+    """Both reduction modes (grouped-rho sim and per-quotient loop) must
+    produce the oracle's unique reduced representative on adversarial
+    operand classes: inverse pairs (giant CF 'freak' quotients that drop
+    to the exact tail), self-composes (full-width second-gcd rare path),
+    identities, and skewed power-of-f forms."""
+    hsm = toy_hsm
+    cg, L = _make_cg(hsm)
+    random.seed(11)
+    ident = identity_form(hsm.Delta)
+    pool = [nupow(hsm.h, random.randrange(1, 1 << 60)) for _ in range(16)]
+    B = 32
+    f1 = [pool[random.randrange(len(pool))] for _ in range(B)]
+    f2 = [pool[random.randrange(len(pool))] for _ in range(B)]
+    f1[0] = ident
+    f2[1] = ident
+    f1[2] = f2[2]                         # self-compose
+    f1[3] = reduce_form(neg(f2[3]))       # inverse pair -> freak quotient
+    f1[4] = reduce_form(neg(f2[4]))
+    f1[5] = hsm.power_of_f(3)
+    f2[5] = hsm.power_of_f(7)
+    bf1 = bform_from_forms(f1, L)
+    bf2 = bform_from_forms(f2, L)
+    want = [compose(a, b) for a, b in zip(f1, f2)]
+    for grouped in (True, False):
+        fn = jax.jit(lambda x, y, g=grouped: cg.compose2(x, y, grouped=g))
+        out = jax.tree.map(np.asarray, fn(bf1, bf2))
+        got = bform_to_forms(type(out)(*out))
+        for i in range(B):
+            assert got[i] == want[i], (grouped, i)
