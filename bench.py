@@ -154,11 +154,19 @@ def main():
     def vs(accel):
         return accel / host_ops_per_s if host_ops_per_s else 0.0
 
-    # ---- encrypt the ct tensor (engine-batched; compiles the compose
-    # kernel, reused later by nothing on the hot path so keep it small)
+    # ---- encrypt the ct tensor (engine-batched). The first call pays the
+    # compose-kernel compile for this bucket size; time a second call too
+    # so the steady encrypt rate is recorded separately (round-4's
+    # "encrypt regression" was compile-time variance: warm encrypt of
+    # 4608 k=256 elements measures ~0.5 ms/element).
     t0 = time.time()
     ct = cs.encrypt_tensor(pk, Tensor(ct_vals, (n, m)))
-    note(f"encrypt_tensor {time.time() - t0:.1f}s")
+    note(f"encrypt_tensor {time.time() - t0:.1f}s (incl. kernel compile)")
+    t0 = time.time()
+    ct = cs.encrypt_tensor(pk, Tensor(ct_vals, (n, m)))
+    enc_steady = time.time() - t0
+    note(f"encrypt_tensor steady {enc_steady:.2f}s "
+         f"({n * m / enc_steady:.0f} elems/s)")
     zero = cs.encrypt(pk, 0)
 
     eng = cs._engine
