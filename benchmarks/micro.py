@@ -135,6 +135,29 @@ def main():
             bench("reduce2", jax.jit(cg.reduce2),
                   a3.astype(jnp.int32), b3r, c3.astype(jnp.int32))
 
+    if "wnaf" in what:
+        # the part_decrypt ladder: one 128-step shared-exponent wNAF
+        # segment at this batch (threshold-decrypt hot path). Env
+        # COFHE_WNAF_GROUPED=1 switches the in-scan reduction mode.
+        from cofhe_tpu.ops.engine import JaxEngine
+        from cofhe_tpu.ops.nupow2 import make_wnaf_bank, wnaf_segment
+
+        eng = JaxEngine(hsm)
+        grouped = os.environ.get("COFHE_WNAF_GROUPED", "0") == "1"
+        bf = bform_from_forms([seeds[i % 8] for i in range(B)], eng.L)
+        bank = jax.jit(lambda b: make_wnaf_bank(eng.cg, b, 5))(bf)
+        from cofhe_tpu.ops.nupow2 import identity_bform2, wnaf_digits
+
+        r0 = identity_bform2(eng.cg, B)
+        rng2 = RandGen(b"wnafexp")
+        e = int(rng2.random_mpz(1 << (16 * eng.L // 2)))
+        sched = wnaf_digits(e, 5)[:128]
+        sched = [0] * (128 - len(sched)) + sched
+        seg = jnp.asarray(sched, jnp.int32)
+        kern = jax.jit(lambda b, r, s: wnaf_segment(eng.cg, b, r, s, w=5,
+                                                    grouped=grouped))
+        bench(f"wnaf-seg128(grouped={grouped})", kern, bank, r0, seg)
+
     if "yao2" in what:
         # the matmul's ladder in isolation: B exponent rows over 8 shared
         # bases (the doubling chain advances on 8 rows only)

@@ -250,11 +250,18 @@ class JaxEngine:
 
     @functools.lru_cache(maxsize=16)
     def _wnaf_segment_kernel(self, batch: int, w: int):
+        import os
+
         from .nupow2 import wnaf_segment
 
         cg = self.cg
+        # COFHE_WNAF_GROUPED=1: grouped-rho inside the segment scan (no
+        # slot-bank carry here, so the scan-embedding pathology may not
+        # apply — measure with benchmarks/micro.py --what wnaf)
+        grouped = os.environ.get("COFHE_WNAF_GROUPED", "0") == "1"
         return jax.jit(lambda bank, r, seg: wnaf_segment(cg, bank, r, seg,
-                                                         w=w))
+                                                         w=w,
+                                                         grouped=grouped))
 
     def _mesh_dims(self):
         if self.mesh is None:

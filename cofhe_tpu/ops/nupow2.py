@@ -167,17 +167,23 @@ def make_wnaf_bank(cg: CG, base: BForm, w: int = 5) -> BForm:
     return BForm(tab.a, tab.b_sign, tab.b, tab.c)
 
 
-def wnaf_segment(cg: CG, bank: BForm, r: BForm, sched_seg, w: int = 5) -> BForm:
+def wnaf_segment(cg: CG, bank: BForm, r: BForm, sched_seg, w: int = 5,
+                 grouped: bool = False) -> BForm:
     """Run one fixed-length segment of the shared-exponent wNAF ladder:
     r <- r^(2^len(seg)) * prod(bank digits). The engine chains segments
     with the accumulator resident on device — the TPU runtime reproducibly
     crashes on single ~1500-step scans at k=256 widths (round 4), and
     fixed segments also mean ONE cached kernel per (batch, seg, w) instead
-    of one per exponent-length bucket."""
+    of one per exponent-length bucket.
+
+    `grouped` selects the reduction mode inside the scan (default off —
+    see forms2.reduce2; this scan carries only the accumulator, not a
+    slot bank, so the grouped loop MAY escape the scan-embedding
+    pathology here: benchmarks/micro.py --what wnaf measures it)."""
     sched_seg = jnp.asarray(sched_seg, jnp.int32)
 
     def body(rr, d):
-        rr = cg.nudupl2(rr, grouped=False)
+        rr = cg.nudupl2(rr, grouped=grouped)
 
         def with_compose(r2):
             idx = (jnp.abs(d) - 1) // 2
@@ -187,7 +193,7 @@ def wnaf_segment(cg: CG, bank: BForm, r: BForm, sched_seg, w: int = 5) -> BForm:
                       jax.lax.dynamic_index_in_dim(bank.c, idx, 0, False))
             t = bform_select(jnp.broadcast_to(d < 0, t.b_sign.shape),
                              bform_neg(t), t)
-            return cg.compose2(r2, t, grouped=False)
+            return cg.compose2(r2, t, grouped=grouped)
 
         rr = jax.lax.cond(d != 0, with_compose, lambda r2: r2, rr)
         return rr, None
