@@ -255,10 +255,13 @@ class JaxEngine:
         from .nupow2 import wnaf_segment
 
         cg = self.cg
-        # COFHE_WNAF_GROUPED=1: grouped-rho inside the segment scan (no
-        # slot-bank carry here, so the scan-embedding pathology may not
-        # apply — measure with benchmarks/micro.py --what wnaf)
-        grouped = os.environ.get("COFHE_WNAF_GROUPED", "0") == "1"
+        # Grouped-rho inside the segment scan: DEFAULT ON. This scan
+        # carries only the accumulator (the odd-power bank is a closure
+        # input, not a scan carry), so it escapes the carried-bank
+        # scheduling pathology — measured 1.69x on a v5e: 3.74 vs 6.32 s
+        # per 128-step segment @4096, k=128 (micro.py --what wnaf).
+        # COFHE_WNAF_GROUPED=0 restores the per-quotient loop.
+        grouped = os.environ.get("COFHE_WNAF_GROUPED", "1") == "1"
         return jax.jit(lambda bank, r, seg: wnaf_segment(cg, bank, r, seg,
                                                          w=w,
                                                          grouped=grouped))
